@@ -1,0 +1,72 @@
+"""Image geometry ops: bilinear resize (both alignment conventions) and
+adaptive average pooling, on NHWC tensors.
+
+These replace the reference's kornia.geometry.resize (ours/models.py:307,351),
+torch F.interpolate(..., align_corners=True) (encoding/helpers.py:140,
+NVAE architecture.py:92) and torch AdaptiveAvgPool2d (psp.py:26).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners", "antialias"))
+def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
+                    align_corners: bool = False, antialias: bool = False) -> jnp.ndarray:
+    """Bilinear resize of NHWC images.
+
+    align_corners=False matches torch F.interpolate / kornia default
+    (half-pixel centers); align_corners=True matches the reference's FPN
+    upsample and NVAE SkipUp convention.
+    """
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    if not align_corners:
+        return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear",
+                                antialias=antialias)
+
+    def axis_weights(in_size, out_size):
+        if out_size == 1:
+            idx = jnp.zeros((1,), jnp.int32)
+            return idx, idx, jnp.zeros((1,), x.dtype)
+        pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+        hi = jnp.clip(lo + 1, 0, in_size - 1)
+        frac = (pos - lo.astype(jnp.float32)).astype(x.dtype)
+        return lo, hi, frac
+
+    ylo, yhi, yf = axis_weights(h, out_h)
+    xlo, xhi, xf = axis_weights(w, out_w)
+    top = x[:, ylo]
+    bot = x[:, yhi]
+    rows = top + (bot - top) * yf[None, :, None, None]
+    left = rows[:, :, xlo]
+    right = rows[:, :, xhi]
+    return left + (right - left) * xf[None, None, :, None]
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def adaptive_avg_pool(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """AdaptiveAvgPool2d for the evenly-divisible case (the only one the
+    reference exercises: 1024->256 and 256->256 face pools)."""
+    b, h, w, c = x.shape
+    if (h, w) == (out_h, out_w):
+        return x
+    assert h % out_h == 0 and w % out_w == 0, (h, w, out_h, out_w)
+    fh, fw = h // out_h, w // out_w
+    x = x.reshape(b, out_h, fh, out_w, fw, c)
+    return x.mean(axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("kernel",))
+def avg_pool2d(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """Non-overlapping average pooling (torch F.avg_pool2d with
+    stride=kernel), used by the A-VAE purifier's downsampling."""
+    if kernel == 1:
+        return x
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // kernel, kernel, w // kernel, kernel, c)
+    return x.mean(axis=(2, 4))
