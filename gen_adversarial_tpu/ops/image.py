@@ -10,6 +10,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners", "antialias"))
@@ -59,6 +60,28 @@ def adaptive_avg_pool(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     fh, fw = h // out_h, w // out_w
     x = x.reshape(b, out_h, fh, out_w, fw, c)
     return x.mean(axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
+def adaptive_avg_pool_general(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Full torch AdaptiveAvgPool2d semantics (windows
+    [floor(i*in/out), ceil((i+1)*in/out))), valid for out smaller OR larger
+    than in — torchvision VGG pools 2x2 features up to 7x7 on 64px inputs."""
+    b, h, w, c = x.shape
+    if h % out_h == 0 and w % out_w == 0:
+        return adaptive_avg_pool(x, out_h, out_w)
+
+    def pool_axis(arr, in_size, out_size, axis):
+        slices = []
+        for i in range(out_size):
+            lo = (i * in_size) // out_size
+            hi = -(-((i + 1) * in_size) // out_size)  # ceil
+            seg = lax.slice_in_dim(arr, lo, hi, axis=axis)
+            slices.append(seg.mean(axis=axis, keepdims=True))
+        return jnp.concatenate(slices, axis=axis)
+
+    x = pool_axis(x, h, out_h, 1)
+    return pool_axis(x, w, out_w, 2)
 
 
 @partial(jax.jit, static_argnames=("kernel",))
