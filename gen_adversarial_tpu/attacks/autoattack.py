@@ -1,0 +1,56 @@
+"""Custom AutoAttack ensemble (reference untargeted.py:246-322): APGD-CE at
+bounds {0.5, 1, 4} -> APGD-DLR at {0.5, 2, 4} (skipped entirely for <= 3
+classes, a trace-time decision) -> FAB(128).  Square attack is deliberately
+omitted, matching the reference (untargeted.py:256-258).
+
+The reference escalates to a higher bound only when the lower one failed;
+here every stage runs batched and the escalation becomes per-sample gating
+masks at merge time, which preserves the per-image results exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from gen_adversarial_tpu.attacks.apgd import apgd_attack
+from gen_adversarial_tpu.attacks.fab import fab_attack
+
+
+def _update_result(res0, res1, gate=None):
+    """Per-sample update_result (untargeted.py:270-280): adopt result 1 when
+    it succeeds and either result 0 failed or result 1 has a smaller bound.
+    `gate` restricts which samples may be updated (the chain's 'only if not
+    yet successful' escalation)."""
+    s0, b0, a0 = res0
+    s1, b1, a1 = res1
+    take = s1 & (~s0 | (b1 < b0))
+    if gate is not None:
+        take = take & gate
+    bdims = (-1,) + (1,) * (a0.ndim - 1)
+    return (s0 | take, jnp.where(take, b1, b0),
+            jnp.where(take.reshape(bdims), a1, a0))
+
+
+def autoattack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
+               n_classes: int):
+    keys = jax.random.split(key, 8)
+
+    # APGD-CE chain at increasing bounds
+    res = apgd_attack(keys[0], net, images, labels, 64, 0.75, 0.5, True)
+    gate = ~res[0]
+    res = _update_result(res, apgd_attack(keys[1], net, images, labels, 64, 0.75, 1.0, True), gate)
+    gate = ~res[0]
+    res = _update_result(res, apgd_attack(keys[2], net, images, labels, 64, 0.75, 4.0, True), gate)
+
+    # APGD-DLR chain (static skip for <= 3 classes, untargeted.py:302)
+    if n_classes > 3:
+        r1 = apgd_attack(keys[3], net, images, labels, 64, 0.75, 0.5, False)
+        g1 = ~r1[0]
+        r1 = _update_result(r1, apgd_attack(keys[4], net, images, labels, 64, 0.75, 2.0, False), g1)
+        g1 = ~r1[0]
+        r1 = _update_result(r1, apgd_attack(keys[5], net, images, labels, 64, 0.75, 4.0, False), g1)
+        res = _update_result(res, r1)
+
+    # FAB always runs and merges
+    res = _update_result(res, fab_attack(keys[6], net, images, labels,
+                                         n_iter=128, alpha_max=0.1, eta=1.05, beta=0.9))
+    return res

@@ -1,0 +1,92 @@
+"""DeepFool: iterative closest-hyperplane linearization over the top-k
+classes of the original prediction (reference untargeted.py:470-568).
+
+Batched re-design: the per-class `backward(retain_graph=True)` calls become
+one jax.vjp linearization applied to k one-hot cotangents (same forward
+randomness for all class gradients, exactly like the retained torch graph),
+and the Python while-loop becomes lax.while_loop with a per-sample active
+mask.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gen_adversarial_tpu.attacks.utils import l2_norm
+
+
+def _class_grads(net, key, x, class_idx):
+    """Per-sample gradients of logits[b, class_idx[b, k]] for each k.
+
+    class_idx: (B, K) -> returns logits (B, C) and grads (K, B, ...).
+    One forward + linearization, K transposed applications (vmapped).
+    """
+    logits, vjp_fn = jax.vjp(lambda x_: net(key, x_), x)
+    n_classes = logits.shape[1]
+    cotangents = jax.nn.one_hot(class_idx.T, n_classes, dtype=logits.dtype)  # (K,B,C)
+    grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)  # (K,B,...)
+    return logits, grads
+
+
+def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
+                    num_classes: int = 10, overshoot: float = 0.02,
+                    max_iter: int = 50):
+    b = images.shape[0]
+    bdims = (-1,) + (1,) * (images.ndim - 1)
+    k0, kloop = jax.random.split(key)
+
+    logits0 = net(k0, images)
+    order = jnp.argsort(-logits0, axis=1)[:, :num_classes]  # (B, K) descending
+    label = order[:, 0]
+    already_wrong = label != labels
+
+    carry = dict(i=jnp.zeros((), jnp.int32),
+                 r_tot=jnp.zeros_like(images),
+                 k_i=label,
+                 active=~already_wrong,
+                 key=kloop)
+
+    def cond(c):
+        return (c["i"] < max_iter) & jnp.any(c["active"])
+
+    def body(c):
+        key, k1, k2 = jax.random.split(c["key"], 3)
+        pert_image = images + (1.0 + overshoot) * c["r_tot"]
+        fs, grads = _class_grads(net, k1, pert_image, order)  # (B,C), (K,B,...)
+
+        grad_orig = grads[0]
+        f_sel = jnp.take_along_axis(fs, order, axis=1)  # (B, K)
+
+        w_k = grads[1:] - grad_orig[None]                      # (K-1, B, ...)
+        f_k = (f_sel[:, 1:] - f_sel[:, 0:1]).T                  # (K-1, B)
+        w_norms = jnp.sqrt(jnp.sum(w_k ** 2, axis=tuple(range(2, w_k.ndim))))
+        pert_k = jnp.abs(f_k) / jnp.maximum(w_norms, 1e-30)     # (K-1, B)
+        kstar = jnp.argmin(pert_k, axis=0)                      # (B,)
+        pert = jnp.min(pert_k, axis=0)                          # (B,)
+        w = jnp.take_along_axis(
+            w_k, kstar.reshape((1, -1) + (1,) * (images.ndim - 1)), axis=0)[0]
+
+        r_i = (pert.reshape(bdims) + 1e-4) * w / jnp.maximum(
+            l2_norm(w, keepdims=True), 1e-30)
+        r_tot = jnp.where(c["active"].reshape(bdims), c["r_tot"] + r_i, c["r_tot"])
+
+        new_pert_image = images + (1.0 + overshoot) * r_tot
+        k_i_new = jnp.argmax(net(k2, new_pert_image), axis=1)
+        k_i = jnp.where(c["active"], k_i_new, c["k_i"])
+        active = c["active"] & (k_i == label)
+        return dict(i=c["i"] + 1, r_tot=r_tot, k_i=k_i, active=active, key=key)
+
+    out = lax.while_loop(cond, body, carry)
+
+    pert_image = images + (1.0 + overshoot) * out["r_tot"]
+    failed = out["k_i"] == labels  # never crossed the boundary
+    success = ~failed
+    bound = jnp.where(failed, jnp.inf, l2_norm((1.0 + overshoot) * out["r_tot"]))
+    adv = jnp.where(failed.reshape(bdims), images, pert_image)
+
+    # inputs that were already misclassified: success with zero perturbation
+    # (untargeted.py:511-513)
+    success = jnp.where(already_wrong, True, success)
+    bound = jnp.where(already_wrong, 0.0, bound)
+    adv = jnp.where(already_wrong.reshape(bdims), images, adv)
+    return success, bound, adv

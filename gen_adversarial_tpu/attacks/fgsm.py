@@ -1,0 +1,35 @@
+"""FGSM, L2-projected (reference untargeted.py:708-750): one signed-gradient
+step, sign normalized to unit L2, projected onto the L2 ball, with
+early-exit for already-misclassified inputs."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gen_adversarial_tpu.attacks.utils import normalize
+
+
+def fgsm_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
+                l2_bound: float):
+    """Batched FGSM.  net(key, x) -> logits."""
+    k0, k1, k2 = jax.random.split(key, 3)
+    logits0 = net(k0, images)
+    already_wrong = jnp.argmax(logits0, -1) != labels
+
+    def neg_ce(x):
+        logits = net(k1, x)
+        loss = -optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return jnp.sum(loss)
+
+    grad = jax.grad(neg_ce)(images)
+    pert = normalize(jnp.sign(grad))
+    x_adv = jnp.clip(images - pert * l2_bound, 0.0, 1.0)
+
+    succ = jnp.argmax(net(k2, x_adv), -1) != labels
+    mask = already_wrong.reshape((-1,) + (1,) * (images.ndim - 1))
+    adv = jnp.where(mask, images, x_adv)
+    success = jnp.where(already_wrong, True, succ)
+    bound = jnp.where(already_wrong, 0.0, l2_bound)
+    return success, bound, adv
