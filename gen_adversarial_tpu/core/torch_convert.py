@@ -113,6 +113,146 @@ def convert_vgg(sd: dict, plan=VGG11_PLAN) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _enc_cell(sd: dict, prefix: str, downsampling: bool, use_se: bool = True):
+    """ResidualCellEncoder (architecture.py:96-136): residual Sequential is
+    [BN, SiLU, conv, BN, SiLU, conv, SE?]; skip is SkipDown.conv when
+    downsampling."""
+    p, s = {}, {}
+    p["bn0"], s["bn0"] = take_bn(sd, f"{prefix}.residual.0")
+    p["conv0"] = take_conv(sd, f"{prefix}.residual.2")
+    p["bn1"], s["bn1"] = take_bn(sd, f"{prefix}.residual.3")
+    p["conv1"] = take_conv(sd, f"{prefix}.residual.5")
+    if use_se:
+        p["se"] = {"linear_1": take_linear(sd, f"{prefix}.residual.6.linear_1"),
+                   "linear_2": take_linear(sd, f"{prefix}.residual.6.linear_2")}
+    if downsampling:
+        p["skip"] = {"conv": take_conv(sd, f"{prefix}.skip_connection.conv")}
+    return p, s
+
+
+def _dec_cell(sd: dict, prefix: str, upsampling: bool, use_se: bool = True):
+    """ResidualCellDecoder (architecture.py:139-186): residual Sequential is
+    [Upsample?] + [BN, conv1x1, BN, SiLU, dwconv5x5, BN, SiLU, conv1x1, BN, SE?]."""
+    o = 1 if upsampling else 0
+    p, s = {}, {}
+    p["bn0"], s["bn0"] = take_bn(sd, f"{prefix}.residual.{0 + o}")
+    p["conv_expand"] = take_conv(sd, f"{prefix}.residual.{1 + o}", bias=False)
+    p["bn1"], s["bn1"] = take_bn(sd, f"{prefix}.residual.{2 + o}")
+    p["conv_depthwise"] = take_conv(sd, f"{prefix}.residual.{4 + o}", bias=False)
+    p["bn2"], s["bn2"] = take_bn(sd, f"{prefix}.residual.{5 + o}")
+    p["conv_project"] = take_conv(sd, f"{prefix}.residual.{7 + o}", bias=False)
+    p["bn3"], s["bn3"] = take_bn(sd, f"{prefix}.residual.{8 + o}")
+    if use_se:
+        p["se"] = {"linear_1": take_linear(sd, f"{prefix}.residual.{9 + o}.linear_1"),
+                   "linear_2": take_linear(sd, f"{prefix}.residual.{9 + o}.linear_2")}
+    if upsampling:
+        p["skip"] = {"conv": take_conv(sd, f"{prefix}.skip_connection.conv")}
+    return p, s
+
+
+def _nf_stack(sd: dict, prefix: str, n_blocks: int):
+    """nf_cells.nf_{s}:{g} = Sequential of NFBlocks, each with cell1/cell2
+    of MaskedConv2d layers at indices 0/2/4.  The stored torch weights may
+    or may not be pre-masked (MaskedConv2d re-masks every forward,
+    architecture.py:30-34); masking here is idempotent either way."""
+    from gen_adversarial_tpu.models.nvae.cells import make_ar_mask
+    out = {}
+    for i in range(n_blocks):
+        blk = {}
+        for cell, mirror in (("cell1", False), ("cell2", True)):
+            cp = {}
+            specs = [("conv0", 0, 3, True), ("conv1", 2, 5, False), ("conv2", 4, 1, False)]
+            for name, idx, k, zero_diag in specs:
+                conv = take_conv(sd, f"{prefix}.{i}.{cell}.layers.{idx}")
+                mask = make_ar_mask(k, k, mirror, zero_diag)
+                conv["kernel"] = conv["kernel"] * mask[:, :, None, None]
+                cp[name] = conv
+            blk[cell] = cp
+        out[i] = blk
+    return out
+
+
+def convert_nvae(sd: dict, cfg) -> dict:
+    """Reference NVAE state dict (model.py:97-315 module tree, weight-normed
+    convs, SyncBatchNorms) -> NVAE flax variables.  `cfg` is an NVAEConfig."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params, stats = {}, {}
+    gps = cfg.groups_per_scale
+
+    params["init_conv"] = take_conv(sd, "preprocessing_block.init_conv")
+    for b in range(cfg.n_pre_post_blocks):
+        for c in range(cfg.n_pre_post_cells):
+            last = c == cfg.n_pre_post_cells - 1
+            p, s = _enc_cell(sd, f"preprocessing_block.block_{b}.cell_{c}",
+                             downsampling=last, use_se=cfg.use_se)
+            params[f"pre_cells_{b}_{c}"], stats[f"pre_cells_{b}_{c}"] = p, s
+
+    for s_ in range(cfg.num_scales - 1, -1, -1):
+        for g in range(gps[s_]):
+            for c in range(cfg.num_cells_per_group):
+                p, st = _enc_cell(sd, f"encoder_tower.scale_{s_}.group_{g}.cell_{c}",
+                                  downsampling=False, use_se=cfg.use_se)
+                params[f"enc_cells_{s_}_{g}_{c}"] = p
+                stats[f"enc_cells_{s_}_{g}_{c}"] = st
+            if not (s_ == 0 and g == 0):
+                params[f"enc_combiners_{s_}_{g}"] = {
+                    "conv": take_conv(sd, f"encoder_combiners.combiner_{s_}:{g}.conv")}
+        if s_ > 0:
+            p, st = _enc_cell(sd, f"encoder_tower.scale_{s_}.downsampling",
+                              downsampling=True, use_se=cfg.use_se)
+            params[f"enc_cells_{s_}_down"] = p
+            stats[f"enc_cells_{s_}_down"] = st
+
+    params["encoder_0_conv"] = take_conv(sd, "encoder_0.1")
+
+    for s_ in range(cfg.num_scales):
+        for g in range(gps[s_]):
+            params[f"enc_sampler_{s_}_{g}"] = take_conv(sd, f"enc_sampler.sampler_{s_}:{g}")
+            if cfg.num_nf_cells:
+                # flax flattens list-valued submodules into the parent name:
+                # nf_cells dict key '{s}_{g}' + list index i -> 'nf_cells_{s}_{g}_{i}'
+                stack = _nf_stack(sd, f"nf_cells.nf_{s_}:{g}", cfg.num_nf_cells)
+                for i, blk in stack.items():
+                    params[f"nf_cells_{s_}_{g}_{i}"] = blk
+            if not (s_ == 0 and g == 0):
+                params[f"dec_sampler_{s_}_{g}"] = take_conv(sd, f"dec_sampler.sampler_{s_}:{g}.1")
+
+    for s_ in range(cfg.num_scales):
+        for g in range(gps[s_]):
+            if not (s_ == 0 and g == 0):
+                for c in range(cfg.num_cells_per_group):
+                    p, st = _dec_cell(sd, f"decoder_tower.scale_{s_}.group_{g}.cell_{c}",
+                                      upsampling=False, use_se=cfg.use_se)
+                    params[f"dec_cells_{s_}_{g}_{c}"] = p
+                    stats[f"dec_cells_{s_}_{g}_{c}"] = st
+            params[f"dec_combiners_{s_}_{g}"] = {
+                "conv": take_conv(sd, f"decoder_combiners.combiner_{s_}:{g}.conv")}
+        if s_ < cfg.num_scales - 1:
+            p, st = _dec_cell(sd, f"decoder_tower.scale_{s_}.upsampling",
+                              upsampling=True, use_se=cfg.use_se)
+            params[f"dec_cells_{s_}_up"] = p
+            stats[f"dec_cells_{s_}_up"] = st
+
+    for b in range(cfg.n_pre_post_blocks):
+        for c in range(cfg.n_pre_post_cells):
+            first = c == 0
+            p, st = _dec_cell(sd, f"postprocessing_block.block_{b}.cell_{c}",
+                              upsampling=first, use_se=cfg.use_se)
+            params[f"post_cells_{b}_{c}"], stats[f"post_cells_{b}_{c}"] = p, st
+
+    params["to_logits_conv"] = take_conv(sd, "to_logits.1")
+    params["const_prior"] = np.transpose(sd["const_prior"], (0, 2, 3, 1))
+
+    # NF masked-conv running stats don't exist; nf blocks hold only convs.
+    def nest(flat):
+        out = {}
+        for k, v in flat.items():
+            out[k] = v
+        return out
+
+    return {"params": nest(params), "batch_stats": nest(stats)}
+
+
 def convert_classifier(sd: dict, model_type: str) -> dict:
     sd = {k: np.asarray(v) for k, v in sd.items()}
     if model_type in ("resnet", "resnext"):

@@ -1,0 +1,194 @@
+"""NVAE building-block cells (reference NVAE/modules/architecture.py in
+SerezD/gen_adversarial), re-implemented as Flax modules in NHWC.
+
+Notes vs the reference:
+- SyncBatchNorm(momentum=0.05) becomes flax BatchNorm(momentum=0.95); in the
+  purification path everything runs with running averages (eval mode).
+- weight_norm parametrizations are folded into plain kernels at checkpoint
+  conversion time (core/torch_convert.py), so the cells hold ordinary convs.
+- MaskedConv2d's autoregressive masking (architecture.py:9-34) is applied to
+  the kernel at call time.
+"""
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from gen_adversarial_tpu.ops.image import resize_bilinear
+
+
+def _bn(train: bool, name: str) -> nn.BatchNorm:
+    return nn.BatchNorm(use_running_average=not train, momentum=0.95,
+                        epsilon=1e-5, name=name)
+
+
+class SE(nn.Module):
+    """Squeeze-and-Excitation gate (architecture.py:37-61)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        hidden = max(self.out_channels // 16, 4)
+        se = jnp.mean(x, axis=(1, 2))
+        se = nn.relu(nn.Dense(hidden, name="linear_1")(se))
+        se = nn.sigmoid(nn.Dense(self.out_channels, name="linear_2")(se))
+        return x * se[:, None, None, :]
+
+
+class SkipDown(nn.Module):
+    out_channels: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.silu(x)
+        return nn.Conv(self.out_channels, (1, 1),
+                       strides=(self.stride, self.stride), name="conv")(x)
+
+
+class SkipUp(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        # torch F.interpolate(scale_factor=2, bilinear, align_corners=True)
+        x = resize_bilinear(x, h * 2, w * 2, align_corners=True)
+        return nn.Conv(self.out_channels, (1, 1), name="conv")(x)
+
+
+class ResidualCellEncoder(nn.Module):
+    """(BN-SiLU-conv3x3) x2 + SE, 0.1-scaled residual (architecture.py:96-136)."""
+    out_channels: int
+    downsampling: bool
+    use_se: bool
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        stride = 2 if self.downsampling else 1
+        r = _bn(train, "bn0")(x)
+        r = nn.silu(r)
+        r = nn.Conv(self.out_channels, (3, 3), strides=(stride, stride),
+                    padding=1, name="conv0")(r)
+        r = _bn(train, "bn1")(r)
+        r = nn.silu(r)
+        r = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1")(r)
+        if self.use_se:
+            r = SE(self.out_channels, name="se")(r)
+        skip = SkipDown(self.out_channels, stride, name="skip")(x) \
+            if self.downsampling else x
+        return skip + 0.1 * r
+
+
+class ResidualCellDecoder(nn.Module):
+    """MBConv-style cell: 1x1 expand -> 5x5 depthwise -> 1x1 project, with
+    BNs between, optional nearest-neighbor upsampling (architecture.py:139-186)."""
+    in_channels: int
+    out_channels: int
+    upsampling: bool
+    use_se: bool
+    hidden_mul: int = 6
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        hidden = self.in_channels * self.hidden_mul
+        r = x
+        if self.upsampling:
+            b, h, w, c = r.shape
+            r = jnp.repeat(jnp.repeat(r, 2, axis=1), 2, axis=2)  # nearest x2
+        r = _bn(train, "bn0")(r)
+        r = nn.Conv(hidden, (1, 1), use_bias=False, name="conv_expand")(r)
+        r = _bn(train, "bn1")(r)
+        r = nn.silu(r)
+        r = nn.Conv(hidden, (5, 5), padding=2, feature_group_count=hidden,
+                    use_bias=False, name="conv_depthwise")(r)
+        r = _bn(train, "bn2")(r)
+        r = nn.silu(r)
+        r = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv_project")(r)
+        r = _bn(train, "bn3")(r)
+        if self.use_se:
+            r = SE(self.out_channels, name="se")(r)
+        skip = SkipUp(self.out_channels, name="skip")(x) if self.upsampling else x
+        return skip + 0.1 * r
+
+
+class EncCombinerCell(nn.Module):
+    """x_enc + conv1x1(x_dec) (architecture.py:189-202)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x_enc, x_dec):
+        return x_enc + nn.Conv(self.out_channels, (1, 1), name="conv")(x_dec)
+
+
+class DecCombinerCell(nn.Module):
+    """conv1x1(concat(x, z)) (architecture.py:205-218)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, z):
+        return nn.Conv(self.out_channels, (1, 1), name="conv")(
+            jnp.concatenate([x, z], axis=-1))
+
+
+def make_ar_mask(kh: int, kw: int, mirror: bool, zero_diag: bool) -> np.ndarray:
+    """Autoregressive kernel mask (architecture.py:9-28): flatten the kernel
+    taps, keep the first half (+center if not zero_diag), optionally
+    mirrored.  Returned as (kh, kw) float."""
+    mask = np.ones((kh * kw,), np.float32)
+    half = (kh * kw) // 2 + int(zero_diag)
+    mask[half:] = 0
+    if mirror:
+        mask = mask[::-1].copy()
+    return mask.reshape(kh, kw)
+
+
+class MaskedConv2d(nn.Module):
+    out_channels: int
+    kernel_size: int
+    mirror: bool
+    zero_diag: bool
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        from jax import lax
+        k = self.kernel_size
+        mask = jnp.asarray(make_ar_mask(k, k, self.mirror, self.zero_diag))
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (k, k, x.shape[-1] // self.groups, self.out_channels))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        masked = kernel * mask[:, :, None, None]
+        y = lax.conv_general_dilated(
+            x, masked, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups)
+        return y + bias
+
+
+class NFCell(nn.Module):
+    """z - AR-masked conv stack (architecture.py:221-239)."""
+    num_z: int
+    mirror: bool
+
+    @nn.compact
+    def __call__(self, z):
+        hidden = int(self.num_z * 6)
+        h = MaskedConv2d(hidden, 3, self.mirror, zero_diag=True, name="conv0")(z)
+        h = nn.elu(h)
+        h = MaskedConv2d(hidden, 5, self.mirror, zero_diag=False,
+                         groups=hidden, name="conv1")(h)
+        h = nn.elu(h)
+        h = MaskedConv2d(self.num_z, 1, self.mirror, zero_diag=False, name="conv2")(h)
+        return z - h
+
+
+class NFBlock(nn.Module):
+    num_z: int
+
+    @nn.compact
+    def __call__(self, z):
+        z = NFCell(self.num_z, mirror=False, name="cell1")(z)
+        return NFCell(self.num_z, mirror=True, name="cell2")(z)

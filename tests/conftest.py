@@ -20,6 +20,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# XLA compiles have multi-second fixed overhead in this environment; the
+# persistent cache amortizes them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 assert "jax" not in sys.modules or len(jax.devices()) == 8, (
     "JAX backend initialized before conftest could force the 8-device CPU platform")
