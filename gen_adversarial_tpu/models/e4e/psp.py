@@ -1,0 +1,52 @@
+"""pSp container: E4E encoder + StyleGAN2 generator + face pool
+(reference StyleGan_E4E/psp.py in SerezD/gen_adversarial)."""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gen_adversarial_tpu.models.e4e.encoder import Encoder4Editing
+from gen_adversarial_tpu.models.stylegan2.generator import Generator
+from gen_adversarial_tpu.ops.image import adaptive_avg_pool
+
+
+class PSP(nn.Module):
+    stylegan_size: int = 1024
+    start_from_latent_avg: bool = True
+
+    def setup(self):
+        self.encoder = Encoder4Editing(self.stylegan_size)
+        self.decoder = Generator(self.stylegan_size, 512, 8, channel_multiplier=2)
+        # latent_avg is loaded from the checkpoint (psp.py:117-127)
+        self.latent_avg = self.variable(
+            "buffers", "latent_avg",
+            jnp.zeros, (self.decoder.n_latent, 512))
+
+    def encode(self, x, train: bool = False):
+        """(B,H,W,C) -> codes (B, n_latent, 512), shifted by latent_avg
+        (psp.py:88-101)."""
+        codes = self.encoder(x, train)
+        if self.start_from_latent_avg:
+            codes = codes + self.latent_avg.value[None]
+        return codes
+
+    def decode(self, codes, noise_key=None, randomize_noise: bool = False):
+        """codes (B, n_latent, 512) -> images pooled to 256 (psp.py:109-115)."""
+        images, _ = self.decoder([codes], input_is_latent=True,
+                                 randomize_noise=randomize_noise,
+                                 noise_key=noise_key)
+        return adaptive_avg_pool(images, 256, 256)
+
+    def style(self, z):
+        """The generator's style MLP (used for sampling new w's in purify)."""
+        return self.decoder.run_style(z)
+
+    def __call__(self, x, train: bool = False, resize: bool = True,
+                 noise_key=None, randomize_noise: bool = False):
+        codes = self.encode(x, train)
+        images, _ = self.decoder([codes], input_is_latent=True,
+                                 randomize_noise=randomize_noise,
+                                 noise_key=noise_key)
+        if resize:
+            images = adaptive_avg_pool(images, 256, 256)
+        return images

@@ -1,0 +1,61 @@
+"""StyleTransformer container: query-token encoder + StyleGAN2 generator
+(reference StyleGan_Trans/models/style_transformer.py in
+SerezD/gen_adversarial; note the reference's DataParallel `.module`
+indirection bugs are not replicated, see SURVEY.md 7)."""
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gen_adversarial_tpu.models.style_transformer.encoder import GradualStyleEncoder
+from gen_adversarial_tpu.models.stylegan2.generator import Generator
+from gen_adversarial_tpu.ops.image import adaptive_avg_pool
+
+
+class StyleTransformer(nn.Module):
+    output_size: int = 256
+    start_from_latent_avg: bool = True
+
+    @property
+    def n_styles(self):
+        import math
+        return int(math.log2(self.output_size)) * 2 - 2
+
+    def setup(self):
+        self.encoder = GradualStyleEncoder(self.n_styles)
+        self.decoder = Generator(self.output_size, 512, 8)
+        self.latent_avg = self.variable("buffers", "latent_avg",
+                                        jnp.zeros, (self.n_styles, 512))
+
+    def style(self, z):
+        return self.decoder.run_style(z)
+
+    def encode(self, x, train: bool = False):
+        """Query-token encode (style_transformer.py:55-68): push the learned
+        z through the decoder's style MLP, cross-attend against encoder
+        features, shift by latent_avg."""
+        b = x.shape[0]
+        z = self.encoder.z  # (1, n, 512)
+        n, c = z.shape[1], z.shape[2]
+        zb = jnp.broadcast_to(z, (b, n, c)).reshape(b * n, c)
+        query = self.decoder.run_style(zb).reshape(b, n, c)
+        codes = self.encoder(x, query, train)
+        if self.start_from_latent_avg:
+            codes = codes + self.latent_avg.value[None]
+        return codes
+
+    def decode(self, codes, noise_key=None, randomize_noise: bool = False):
+        images, _ = self.decoder([codes], input_is_latent=True,
+                                 randomize_noise=randomize_noise,
+                                 noise_key=noise_key)
+        return adaptive_avg_pool(images, 256, 256)
+
+    def __call__(self, x, train: bool = False, resize: bool = True,
+                 noise_key=None, randomize_noise: bool = False):
+        codes = self.encode(x, train)
+        images, _ = self.decoder([codes], input_is_latent=True,
+                                 randomize_noise=randomize_noise,
+                                 noise_key=noise_key)
+        if resize:
+            images = adaptive_avg_pool(images, 256, 256)
+        return images

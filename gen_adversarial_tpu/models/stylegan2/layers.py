@@ -1,0 +1,324 @@
+"""StyleGAN2 building blocks in Flax / NHWC.
+
+Re-designed TPU-first from the reference
+(StyleGan_E4E/stylegan2/generator.py and
+StyleGan_Trans/models/stylegan2/model.py in SerezD/gen_adversarial):
+
+- The grouped-conv "one weight per sample" trick in ModulatedConv2d
+  (generator.py:163-207) becomes the mathematically identical
+  input-scale / output-demodulate formulation: scale input channels by the
+  style, convolve with the SHARED weight (one big batched conv on the MXU),
+  then scale output channels by the demodulation factor.  This avoids
+  per-sample weight materialization entirely and keeps XLA's conv tiling
+  optimal.  (The rarely-used per-sample `weights_delta` path falls back to
+  a vmapped per-sample conv.)
+- upfirdn2d blurs use the separable XLA kernel in ops/upfirdn2d.py.
+- All randomness (NoiseInjection) takes explicit PRNG keys.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from gen_adversarial_tpu.ops.fused_act import fused_leaky_relu
+from gen_adversarial_tpu.ops.upfirdn2d import upfirdn2d
+
+
+def pixel_norm(x: jnp.ndarray) -> jnp.ndarray:
+    return x * lax.rsqrt(jnp.mean(x ** 2, axis=-1, keepdims=True) + 1e-8)
+
+
+def _norm1d(k) -> np.ndarray:
+    k = np.asarray(k, np.float32)
+    return k / k.sum()
+
+
+def blur(x, kernel_1d, pad, upsample_factor: int = 1):
+    """Blur module (generator.py:50-66): separable FIR, kernel scaled by
+    factor^2 when following an upsampling conv."""
+    k = jnp.asarray(_norm1d(kernel_1d))
+    if upsample_factor > 1:
+        k = k * upsample_factor  # (factor**2) split over the two 1-D passes
+    return upfirdn2d(x, k, up=1, down=1, pad=pad)
+
+
+def upsample_fir(x, kernel_1d, factor: int = 2):
+    """Upsample module (generator.py:29-47)."""
+    k1 = jnp.asarray(_norm1d(kernel_1d)) * factor  # (factor**2) over 2 passes
+    p = len(kernel_1d) - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(x, k1, up=factor, down=1, pad=(pad0, pad1))
+
+
+def downsample_fir(x, kernel_1d, factor: int = 2):
+    """Downsample module (model.py:49-67)."""
+    k1 = jnp.asarray(_norm1d(kernel_1d))
+    p = len(kernel_1d) - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, k1, up=1, down=factor, pad=(pad0, pad1))
+
+
+class EqualLinear(nn.Module):
+    """Equalized-lr linear (generator.py:69-105): weight stored at unit
+    variance / lr_mul, scaled by (1/sqrt(in)) * lr_mul at call time."""
+    out_dim: int
+    use_bias: bool = True
+    bias_init: float = 0.0
+    lr_mul: float = 1.0
+    activation: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        weight = self.param(
+            "weight",
+            lambda k, s: jax.random.normal(k, s) / self.lr_mul,
+            (in_dim, self.out_dim))
+        scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.constant(self.bias_init),
+                              (self.out_dim,))
+        out = x @ (weight * scale)
+        if self.activation:
+            out = fused_leaky_relu(out, bias * self.lr_mul)
+        elif bias is not None:
+            out = out + bias * self.lr_mul
+        return out
+
+
+class EqualConv2d(nn.Module):
+    """Equalized-lr conv (model.py:90-119)."""
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        weight = self.param("weight", nn.initializers.normal(1.0),
+                            (k, k, in_ch, self.out_channels))
+        scale = 1.0 / math.sqrt(in_ch * k ** 2)
+        y = lax.conv_general_dilated(
+            x, weight * scale, (self.stride, self.stride),
+            ((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        return y
+
+
+def scaled_leaky_relu(x, negative_slope: float = 0.2):
+    return jax.nn.leaky_relu(x, negative_slope) * math.sqrt(2)
+
+
+class ModulatedConv2d(nn.Module):
+    """Style-modulated conv with demodulation (generator.py:108-207).
+
+    TPU formulation: y = demod(style, W) * conv(x * style, scale * W); for
+    the upsample path the shared-weight conv_transpose runs first, then the
+    post-conv blur; both orders are algebraically identical to the
+    reference's per-sample grouped conv.
+    """
+    out_channels: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    downsample: bool = False
+    blur_kernel: tuple = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style, weights_delta=None):
+        b, h, w, in_ch = x.shape
+        k = self.kernel_size
+        weight = self.param("weight", nn.initializers.normal(1.0),
+                            (k, k, in_ch, self.out_channels))
+        scale = 1.0 / math.sqrt(in_ch * k ** 2)
+        style = EqualLinear(in_ch, bias_init=1.0, name="modulation")(style)  # (B, in)
+
+        if weights_delta is not None:
+            return self._per_sample_path(x, weight, style, weights_delta, scale)
+
+        if self.demodulate:
+            # d[b,o] = rsqrt(sum_{k,i} (scale*W[k,i,o]*s[b,i])^2 + 1e-8)
+            w2 = (scale * weight) ** 2                       # (k,k,in,out)
+            sum_ki = jnp.einsum("hwio,bi->bo", w2, style ** 2)
+            demod = lax.rsqrt(sum_ki + 1e-8)                 # (B, out)
+
+        xs = x * style[:, None, None, :]
+
+        if self.upsample:
+            # conv_transpose(stride 2, pad 0) == dilated conv with flipped kernel
+            wt = jnp.flip(weight, (0, 1)) * scale
+            y = lax.conv_general_dilated(
+                xs, wt, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
+                lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad0 = (p + 1) // 2 + factor - 1
+            pad1 = p // 2 + 1
+            y = blur(y, self.blur_kernel, (pad0, pad1), upsample_factor=factor)
+        elif self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            pad0 = (p + 1) // 2
+            pad1 = p // 2
+            xs = blur(xs, self.blur_kernel, (pad0, pad1))
+            y = lax.conv_general_dilated(
+                xs, weight * scale, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+        else:
+            y = lax.conv_general_dilated(
+                xs, weight * scale, (1, 1),
+                ((k // 2, k // 2), (k // 2, k // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+        return y
+
+    def _per_sample_path(self, x, weight, style, weights_delta, scale):
+        """weights_delta support (E4E hypernetwork editing,
+        generator.py:167-170): exact per-sample weights via vmap."""
+        k = self.kernel_size
+
+        def one(xb, sb, db):
+            w = scale * (weight * (1 + db) * sb[None, None, :, None])
+            if self.demodulate:
+                d = lax.rsqrt(jnp.sum(w ** 2, axis=(0, 1, 2)) + 1e-8)
+                w = w * d[None, None, None, :]
+            xb = xb[None]
+            if self.upsample:
+                wt = jnp.flip(w, (0, 1))
+                y = lax.conv_general_dilated(
+                    xb, wt, (1, 1), ((k - 1, k - 1), (k - 1, k - 1)),
+                    lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            elif self.downsample:
+                y = lax.conv_general_dilated(
+                    xb, w, (2, 2), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            else:
+                y = lax.conv_general_dilated(
+                    xb, w, (1, 1), ((k // 2, k // 2), (k // 2, k // 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y[0]
+
+        if self.downsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) + (k - 1)
+            x = blur(x, self.blur_kernel, ((p + 1) // 2, p // 2))
+        y = jax.vmap(one)(x, style, weights_delta)
+        if self.upsample:
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            y = blur(y, self.blur_kernel, ((p + 1) // 2 + factor - 1, p // 2 + 1),
+                     upsample_factor=factor)
+        return y
+
+
+class NoiseInjection(nn.Module):
+    """image + weight * noise (generator.py:210-222)."""
+
+    @nn.compact
+    def __call__(self, image, noise=None, key=None):
+        w = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None:
+            if key is None:
+                return image  # noise explicitly disabled
+            b, h, wd, c = image.shape
+            noise = jax.random.normal(key, (b, h, wd, 1), image.dtype)
+        return image + w * noise
+
+
+class StyledConv(nn.Module):
+    """ModulatedConv2d + NoiseInjection + FusedLeakyReLU (generator.py:238-270)."""
+    out_channels: int
+    kernel_size: int
+    upsample: bool = False
+    blur_kernel: tuple = (1, 3, 3, 1)
+    demodulate: bool = True
+
+    @nn.compact
+    def __call__(self, x, style, noise=None, key=None, weights_delta=None):
+        y = ModulatedConv2d(self.out_channels, self.kernel_size,
+                            demodulate=self.demodulate, upsample=self.upsample,
+                            blur_kernel=self.blur_kernel, name="conv")(
+            x, style, weights_delta)
+        y = NoiseInjection(name="noise")(y, noise=noise, key=key)
+        bias = self.param("activate_bias", nn.initializers.zeros,
+                          (self.out_channels,))
+        return fused_leaky_relu(y, bias)
+
+
+class ToRGB(nn.Module):
+    """1x1 modulated conv to RGB with skip-pyramid upsample (generator.py:273-292)."""
+    upsample: bool = True
+    blur_kernel: tuple = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style, skip=None, weights_delta=None):
+        y = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style, weights_delta)
+        y = y + self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        if skip is not None:
+            skip = upsample_fir(skip, self.blur_kernel)
+            y = y + skip
+        return y
+
+
+class ConvLayer(nn.Module):
+    """Blur? + EqualConv2d + activation (model.py:546-593)."""
+    out_channels: int
+    kernel_size: int
+    downsample: bool = False
+    blur_kernel: tuple = (1, 3, 3, 1)
+    use_bias: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        if self.downsample:
+            p = (len(self.blur_kernel) - 2) + (k - 1)
+            x = blur(x, self.blur_kernel, ((p + 1) // 2, p // 2))
+            stride, padding = 2, 0
+        else:
+            stride, padding = 1, k // 2
+        x = EqualConv2d(self.out_channels, k, stride, padding,
+                        use_bias=self.use_bias and not self.activate,
+                        name="conv")(x)
+        if self.activate:
+            if self.use_bias:
+                bias = self.param("activate_bias", nn.initializers.zeros,
+                                  (self.out_channels,))
+                x = fused_leaky_relu(x, bias)
+            else:
+                x = scaled_leaky_relu(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Residual downsampling block (model.py:595-613)."""
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        y = ConvLayer(in_ch, 3, name="conv1")(x)
+        y = ConvLayer(self.out_channels, 3, downsample=True, name="conv2")(y)
+        skip = ConvLayer(self.out_channels, 1, downsample=True,
+                         activate=False, use_bias=False, name="skip")(x)
+        return (y + skip) / math.sqrt(2)
