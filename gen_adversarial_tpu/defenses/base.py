@@ -1,0 +1,96 @@
+"""Defense pipeline: optional gaussian blur -> optional L2-ball gaussian
+noise -> normalize -> purify -> denormalize -> classifier
+(reference ours/abstract_models.py:65-193 in SerezD/gen_adversarial).
+
+Everything is a pure function of (params, key, images); defenses are frozen
+dataclasses bundling the closures, so attacks can differentiate through the
+whole pipeline and EoT is a vmap away.
+"""
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from gen_adversarial_tpu.ops.blur import gaussian_blur2d
+
+
+def blur_kernel_size(h: int) -> int:
+    """The reference's kernel formula (abstract_models.py:150-156):
+    n = sqrt(H); k = int(2**(n//2) - 1).  NOTE SURVEY.md 7: this is most
+    likely a bug for log2(H) upstream (H=256 -> k=255), but the *effective*
+    kernel sizes are accuracy-relevant, so they are reproduced exactly."""
+    n = math.sqrt(h)
+    return int(2 ** (n // 2) - 1)
+
+
+def add_l2_gaussian_noise(key, x, eps: float):
+    """Noise with per-sample L2 norm exactly eps (abstract_models.py:129-143)."""
+    noise = jax.random.normal(key, x.shape, x.dtype)
+    axes = tuple(range(1, x.ndim))
+    norm = jnp.sqrt(jnp.sum(noise ** 2, axis=axes, keepdims=True))
+    return jnp.clip(x + noise * (eps / norm), 0.0, 1.0)
+
+
+@dataclass(frozen=True)
+class ClassifierDefense:
+    """Bare classifier, optional 0.5/0.5 normalization
+    (abstract_models.py:13-62).  Also the 'base' and 'trades' defense types."""
+    classifier_fn: Callable  # [0,1] images -> logits
+
+    def __call__(self, key, x, preds_only: bool = True):
+        logits = self.classifier_fn(x)
+        return logits if preds_only else (logits, x)
+
+    def get_purified(self, key, x):
+        return x
+
+
+@dataclass(frozen=True)
+class MLVGMDefense:
+    """purify-based defense (abstract_models.py:65-193)."""
+    purify_fn: Callable      # (key, x_normalized) -> purified (normalized domain)
+    classifier_fn: Callable  # [0,1] images -> logits
+    image_size: int
+    initial_noise_eps: float = 0.0
+    apply_blur: bool = False
+    normalize_before_purify: bool = True  # mean/std (0.5, 0.5); False for NVAE
+
+    def preprocess(self, key, x):
+        if self.apply_blur:
+            x = gaussian_blur2d(x, blur_kernel_size(self.image_size), 1.0)
+        if self.initial_noise_eps > 0:
+            x = add_l2_gaussian_noise(key, x, self.initial_noise_eps)
+        return x
+
+    def purified(self, key, x):
+        k_noise, k_purify = jax.random.split(key)
+        x = self.preprocess(k_noise, x)
+        if self.normalize_before_purify:
+            x = (x - 0.5) / 0.5
+        out = self.purify_fn(k_purify, x)
+        if self.normalize_before_purify:
+            out = out * 0.5 + 0.5
+        return out
+
+    def __call__(self, key, x, preds_only: bool = True):
+        purified = self.purified(key, x)
+        logits = self.classifier_fn(purified)
+        return logits if preds_only else (logits, purified)
+
+    def get_purified(self, key, x):
+        return self.purified(key, x)
+
+
+def make_classifier_fn(model, variables, mean: float = 0.5, std: float = 0.5):
+    """BaseClassificationModel.__call__ (abstract_models.py:53-62): optional
+    normalize then classifier logits."""
+
+    def classifier_fn(x):
+        if mean is not None:
+            x = (x - mean) / std
+        return model.apply(variables, x, train=False)
+
+    return classifier_fn

@@ -1,0 +1,114 @@
+"""Defense-layer tests: pipeline semantics, EoT, ablations, purify
+composition with tiny models."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gen_adversarial_tpu.defenses.base import (
+    MLVGMDefense, ClassifierDefense, blur_kernel_size, add_l2_gaussian_noise)
+from gen_adversarial_tpu.defenses.ablations import (
+    GaussianNoiseDefense, GaussianBlurDefense)
+from gen_adversarial_tpu.defenses.eot import eot_wrap
+from gen_adversarial_tpu.defenses.purify import make_nvae_purify, make_e4e_purify
+from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
+
+
+def test_blur_kernel_formula():
+    """abstract_models.py:150-156 effective kernel sizes (SURVEY.md 7)."""
+    assert blur_kernel_size(64) == 15
+    assert blur_kernel_size(128) == 31
+    assert blur_kernel_size(256) == 255
+
+
+def test_l2_noise_norm():
+    key = jax.random.PRNGKey(0)
+    x = jnp.full((3, 8, 8, 3), 0.5)
+    out = add_l2_gaussian_noise(key, x, eps=2.0)
+    # pre-clip norm is exactly eps; after clipping at [0,1] it can shrink
+    noise = out - x
+    norms = np.sqrt(np.sum(np.asarray(noise) ** 2, axis=(1, 2, 3)))
+    assert np.all(norms <= 2.0 + 1e-4) and np.all(norms > 0.5)
+
+
+def _linear_classifier(n_classes=4, d=8 * 8 * 3, seed=0):
+    rng = np.random.RandomState(seed)
+    W = jnp.asarray(rng.randn(d, n_classes).astype(np.float32))
+
+    def classifier_fn(x):
+        return x.reshape(x.shape[0], -1) @ W
+
+    return classifier_fn
+
+
+def test_ablation_defenses():
+    clf = _linear_classifier()
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 3).astype(np.float32))
+    noise_def = GaussianNoiseDefense(clf, eps=2.0)
+    logits, purified = noise_def(key, x, preds_only=False)
+    assert logits.shape == (2, 4)
+    assert not np.allclose(np.asarray(purified), np.asarray(x))
+
+    blur_def = GaussianBlurDefense(_linear_classifier(d=64 * 64 * 3), image_size=64)
+    logits2 = blur_def(key, jnp.asarray(np.random.rand(2, 64, 64, 3).astype(np.float32)))
+    assert logits2.shape == (2, 4)
+
+
+def test_eot_wrap_reduces_variance():
+    clf = _linear_classifier()
+    noise_def = GaussianNoiseDefense(clf, eps=1.0)
+    x = jnp.asarray(np.random.RandomState(2).rand(1, 8, 8, 3).astype(np.float32))
+
+    single = [np.asarray(noise_def(jax.random.PRNGKey(i), x)) for i in range(8)]
+    net = eot_wrap(noise_def, eot_steps=32)
+    eot = [np.asarray(net(jax.random.PRNGKey(i), x)) for i in range(8)]
+    assert np.mean(np.var(np.stack(eot), axis=0)) < \
+        np.mean(np.var(np.stack(single), axis=0)) / 4
+
+    # chunked EoT matches unchunked per-key semantics shape-wise
+    net_c = eot_wrap(noise_def, eot_steps=32, chunk=8)
+    out = net_c(jax.random.PRNGKey(0), x)
+    assert out.shape == (1, 4)
+
+
+@pytest.fixture(scope="module")
+def tiny_nvae():
+    cfg = NVAEConfig(resolution=16, initial_channels=4, n_pre_post_blocks=1,
+                     n_pre_post_cells=1, num_scales=2, num_groups_per_scale=1,
+                     min_groups_per_scale=1, num_cells_per_group=1,
+                     num_latent_per_group=2, num_nf_cells=None, num_mixtures=3)
+    model = NVAE(cfg)
+    variables = jax.jit(lambda k: model.init(
+        {"params": k}, jnp.zeros((1, 16, 16, 3)), k))(jax.random.PRNGKey(0))
+    return model, variables, cfg
+
+
+def test_nvae_defense_pipeline(tiny_nvae):
+    model, variables, cfg = tiny_nvae
+    clf = _linear_classifier(d=16 * 16 * 3)
+    purify = make_nvae_purify(model, variables, jnp.full((cfg.n_latents,), 0.3))
+    defense = MLVGMDefense(purify_fn=purify, classifier_fn=clf, image_size=16,
+                           initial_noise_eps=0.5, apply_blur=False,
+                           normalize_before_purify=False)
+    key = jax.random.PRNGKey(3)
+    x = jnp.asarray(np.random.RandomState(4).rand(2, 16, 16, 3).astype(np.float32))
+    logits, purified = defense(key, x, preds_only=False)
+    assert logits.shape == (2, 4)
+    assert purified.shape == x.shape
+    assert float(purified.min()) >= -1e-4 and float(purified.max()) <= 1 + 1e-4
+
+    # stochastic + differentiable end to end
+    net = eot_wrap(defense, eot_steps=4)
+    g = jax.grad(lambda x_: jnp.sum(net(key, x_) ** 2))(x)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
+
+
+def test_classifier_defense():
+    clf = _linear_classifier()
+    d = ClassifierDefense(clf)
+    x = jnp.asarray(np.random.rand(2, 8, 8, 3).astype(np.float32))
+    logits = d(None, x)
+    assert logits.shape == (2, 4)
+    np.testing.assert_array_equal(np.asarray(d.get_purified(None, x)), np.asarray(x))
