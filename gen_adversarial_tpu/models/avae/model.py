@@ -251,7 +251,8 @@ class AVAEGenerator(nn.Module):
         eps = jax.random.normal(key, m.shape, m.dtype)
         out = m + eps * sigma
 
-        z = out.reshape(out.shape[0], -1)
+        # channel-major flatten to match torch's NCHW view (model.py:85)
+        z = jnp.transpose(out, (0, 3, 1, 2)).reshape(out.shape[0], -1)
         style = style_fn(z)
 
         plan = avae_generator_plan(self.output_size)

@@ -1,0 +1,61 @@
+"""Alpha-search tests: schedules, grid search, and the JAX-native GP/EI
+Bayesian optimization on a synthetic objective."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gen_adversarial_tpu.search.alphas import (
+    get_linear_alphas, get_cosine_alphas, get_best_combination)
+from gen_adversarial_tpu.search.grid import grid_search
+from gen_adversarial_tpu.search.gp import (
+    fit_gp, gp_posterior, expected_improvement, bayesian_optimize)
+
+
+def test_schedules():
+    lin = get_linear_alphas(4)
+    np.testing.assert_allclose(lin, [0.25, 0.5, 0.75, 1.0])
+    cos = get_cosine_alphas(4)
+    np.testing.assert_allclose(cos[-1], 1.0, atol=1e-9)
+    assert all(b > a for a, b in zip(cos, cos[1:]))  # monotone
+
+
+def test_grid_search_and_best_combination(tmp_path):
+    target = np.array([0.3, 0.7])
+
+    def objective(a):
+        return float(1.0 - np.sum((a - target) ** 2))
+
+    alphas, accs = grid_search(objective, 2, 32, results_folder=str(tmp_path),
+                               log_fn=lambda s: None)
+    assert alphas.shape == (32, 2) and accs.shape == (32, 1)
+    best = get_best_combination(str(tmp_path))
+    assert np.sum((best - target) ** 2) < 0.15
+
+
+def test_gp_fits_and_predicts():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(20, 2))
+    y = jnp.sin(3 * x[:, 0]) + 0.5 * x[:, 1]
+    params = fit_gp(x, y, steps=150)
+    mu, var = gp_posterior(params, x, y, x)
+    # near-interpolation at training points
+    assert float(jnp.max(jnp.abs(mu - y))) < 0.15
+    assert float(jnp.max(var)) < 0.5
+    ei = expected_improvement(params, x, y, x, best_f=float(y.min()))
+    assert bool(jnp.all(ei >= -1e-6))
+
+
+def test_bayesian_optimize_improves():
+    target = np.full(4, 0.4)
+
+    def objective(a):  # returns "accuracy" to maximize
+        return float(np.exp(-4 * np.sum((np.asarray(a) - target) ** 2)))
+
+    xs, accs = bayesian_optimize(objective, n_alphas=4, n_steps=6,
+                                 log_fn=lambda s: None)
+    assert xs.shape[0] == 5 + 6
+    seed_best = accs[:5].max()
+    overall_best = accs.max()
+    assert overall_best >= seed_best  # BO never loses the seeds
+    assert overall_best > 0.5  # found a decent optimum on this easy bowl
