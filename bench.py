@@ -1,0 +1,68 @@
+"""Benchmark: purified-images/sec/chip through the flagship NVAE defense.
+
+Measures the hot inner loop of the evaluation harness - the EoT-32
+stochastic purification + classification forward (SURVEY.md 3.1: the
+dominant cost of every attack iteration) - on one TPU chip, and prints ONE
+JSON line.
+
+The reference never measures throughput (BASELINE.md); `vs_baseline`
+compares against a provisional A100 estimate for the same torch pipeline
+(BASELINE_A100_IMG_S below) until a reference GPU run can be taken.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# Provisional torch/A100 estimate for EoT-32 NVAE purify+classify at 64px
+# (batch-1 harness images/sec; see BASELINE.md - the reference publishes no
+# number, so both sides must be measured; this anchors vs_baseline until
+# then).
+BASELINE_A100_IMG_S = 80.0
+
+BATCH = 8
+EOT = 32
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from __graft_entry__ import _flagship
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+
+    defense = _flagship()
+
+    @jax.jit
+    def step(defense, key, x):
+        net = eot_wrap(defense, eot_steps=EOT)
+        return net(key, x)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+
+    for i in range(WARMUP):
+        key, sub = jax.random.split(key)
+        step(defense, sub, x).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        key, sub = jax.random.split(key)
+        out = step(defense, sub, x)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / ITERS
+
+    img_s = BATCH / dt
+    print(json.dumps({
+        "metric": "eot32_nvae_defense_images_per_sec_per_chip",
+        "value": round(img_s, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / BASELINE_A100_IMG_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Attack-benchmark CLI (the reference's test_defense.py entrypoint).
+
+Usage:
+  python -m gen_adversarial_tpu.cli.test_defense \
+      --config configs/ours_cosine_noise_cars.yaml \
+      --images-path /data/cars/test \
+      --results-folder results/ours_cosine_noise_cars \
+      [--attack deepfool|c&w|autoattack] [--batch-size 8] [--eot-steps 32]
+
+Unlike the reference (one process per GPU via mp.spawn, batch size 1), this
+runs batched jit-compiled attacks on however many devices are visible.
+"""
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser("TPU attack benchmark")
+    p.add_argument("--config", required=True)
+    p.add_argument("--images-path", required=True)
+    p.add_argument("--results-folder", required=True)
+    p.add_argument("--attack", default=None,
+                   choices=[None, "deepfool", "c&w", "autoattack"])
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--eot-steps", type=int, default=32)
+    p.add_argument("--eot-chunk", type=int, default=None)
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-plots", action="store_true")
+    args = p.parse_args()
+
+    from gen_adversarial_tpu.eval.factory import load_defense
+    from gen_adversarial_tpu.eval.harness import run_benchmark
+
+    loaded = load_defense(args.config, eot_steps=args.eot_steps,
+                          eot_chunk=args.eot_chunk)
+    run_benchmark(loaded, args.images_path, args.results_folder,
+                  batch_size=args.batch_size, seed=args.seed,
+                  attack_filter=args.attack, max_images=args.max_images,
+                  plots=not args.no_plots)
+
+
+if __name__ == "__main__":
+    main()

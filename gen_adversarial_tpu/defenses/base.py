@@ -2,17 +2,20 @@
 noise -> normalize -> purify -> denormalize -> classifier
 (reference ours/abstract_models.py:65-193 in SerezD/gen_adversarial).
 
-Everything is a pure function of (params, key, images); defenses are frozen
-dataclasses bundling the closures, so attacks can differentiate through the
-whole pipeline and EoT is a vmap away.
+Defenses are flax.struct dataclasses: model parameters (and the alpha
+vector) are PYTREE LEAVES, while apply functions and hyperparameters are
+static fields.  A defense therefore crosses jit boundaries as an argument -
+weights are never baked into the compiled program as constants (which would
+bloat the HLO by the full parameter size and defeat donation), and the
+alpha-search objective can trace through alphas without retracing.
 """
 
 import math
-from dataclasses import dataclass, field
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from gen_adversarial_tpu.ops.blur import gaussian_blur2d
 
@@ -34,29 +37,38 @@ def add_l2_gaussian_noise(key, x, eps: float):
     return jnp.clip(x + noise * (eps / norm), 0.0, 1.0)
 
 
-@dataclass(frozen=True)
+@struct.dataclass
 class ClassifierDefense:
     """Bare classifier, optional 0.5/0.5 normalization
     (abstract_models.py:13-62).  Also the 'base' and 'trades' defense types."""
-    classifier_fn: Callable  # [0,1] images -> logits
+    classifier_variables: Any
+    classifier_apply: Callable = struct.field(pytree_node=False)
+
+    def classify(self, x):
+        return self.classifier_apply(self.classifier_variables, x)
 
     def __call__(self, key, x, preds_only: bool = True):
-        logits = self.classifier_fn(x)
+        logits = self.classify(x)
         return logits if preds_only else (logits, x)
 
     def get_purified(self, key, x):
         return x
 
 
-@dataclass(frozen=True)
+@struct.dataclass
 class MLVGMDefense:
     """purify-based defense (abstract_models.py:65-193)."""
-    purify_fn: Callable      # (key, x_normalized) -> purified (normalized domain)
-    classifier_fn: Callable  # [0,1] images -> logits
-    image_size: int
-    initial_noise_eps: float = 0.0
-    apply_blur: bool = False
-    normalize_before_purify: bool = True  # mean/std (0.5, 0.5); False for NVAE
+    purify_variables: Any
+    classifier_variables: Any
+    alphas: Any
+    # (variables, alphas, key, x_normalized) -> purified (normalized domain)
+    purify_apply: Callable = struct.field(pytree_node=False)
+    classifier_apply: Callable = struct.field(pytree_node=False)
+    image_size: int = struct.field(pytree_node=False, default=64)
+    initial_noise_eps: float = struct.field(pytree_node=False, default=0.0)
+    apply_blur: bool = struct.field(pytree_node=False, default=False)
+    # mean/std (0.5, 0.5) normalization around purify; False for NVAE
+    normalize_before_purify: bool = struct.field(pytree_node=False, default=True)
 
     def preprocess(self, key, x):
         if self.apply_blur:
@@ -70,27 +82,34 @@ class MLVGMDefense:
         x = self.preprocess(k_noise, x)
         if self.normalize_before_purify:
             x = (x - 0.5) / 0.5
-        out = self.purify_fn(k_purify, x)
+        out = self.purify_apply(self.purify_variables, self.alphas, k_purify, x)
         if self.normalize_before_purify:
             out = out * 0.5 + 0.5
         return out
 
     def __call__(self, key, x, preds_only: bool = True):
         purified = self.purified(key, x)
-        logits = self.classifier_fn(purified)
+        logits = self.classifier_apply(self.classifier_variables, purified)
         return logits if preds_only else (logits, purified)
 
     def get_purified(self, key, x):
         return self.purified(key, x)
 
 
-def make_classifier_fn(model, variables, mean: float = 0.5, std: float = 0.5):
+def make_classifier_apply(model, mean: float | None = 0.5, std: float = 0.5):
     """BaseClassificationModel.__call__ (abstract_models.py:53-62): optional
-    normalize then classifier logits."""
+    normalize then classifier logits.  Returns (variables, x) -> logits."""
 
-    def classifier_fn(x):
+    def classifier_apply(variables, x):
         if mean is not None:
             x = (x - mean) / std
         return model.apply(variables, x, train=False)
 
-    return classifier_fn
+    return classifier_apply
+
+
+def make_classifier_fn(model, variables, mean: float | None = 0.5, std: float = 0.5):
+    """Convenience closure form (test/tooling use; NOT jit-friendly for
+    large models - prefer ClassifierDefense with apply/variables split)."""
+    apply = make_classifier_apply(model, mean, std)
+    return lambda x: apply(variables, x)

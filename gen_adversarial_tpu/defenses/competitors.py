@@ -2,26 +2,27 @@
 src/defenses/competitors/{a_vae,nd_vae}/purification_model.py and
 trades/modules.py in SerezD/gen_adversarial)."""
 
-from dataclasses import dataclass
-from typing import Callable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
+from flax import struct
 
 from gen_adversarial_tpu.models.avae.model import StyledGenerator
 from gen_adversarial_tpu.models.ndvae.model import DefenceNVAE
 from gen_adversarial_tpu.ops.image import avg_pool2d
 
 
-@dataclass(frozen=True)
+@struct.dataclass
 class AVaeDefense:
     """a_vae/purification_model.py: avg_pool([-1,1] input) -> generator at
     inference temp 0.6 -> back to [0,1] -> classifier."""
-    model: StyledGenerator
-    variables: dict
-    classifier_fn: Callable
-    kernel_size: int
+    variables: Any
+    classifier_variables: Any
+    model: StyledGenerator = struct.field(pytree_node=False)
+    classifier_apply: Callable = struct.field(pytree_node=False)
+    kernel_size: int = struct.field(pytree_node=False, default=4)
 
     def get_purified(self, key, x):
         x = avg_pool2d(x * 2.0 - 1.0, self.kernel_size)
@@ -30,19 +31,20 @@ class AVaeDefense:
 
     def __call__(self, key, x, preds_only: bool = True):
         purified = self.get_purified(key, x)
-        logits = self.classifier_fn(purified)
+        logits = self.classifier_apply(self.classifier_variables, purified)
         return logits if preds_only else (logits, purified)
 
 
-@dataclass(frozen=True)
+@struct.dataclass
 class NDVaeDefense:
     """nd_vae/purification_model.py: add N(0, noise_std) -> clamp ->
     Defence_NVAE -> DiscMixLogistic mean (left in [-1,1], faithfully) ->
     classifier."""
-    model: DefenceNVAE
-    variables: dict
-    classifier_fn: Callable
-    noise_std: float
+    variables: Any
+    classifier_variables: Any
+    model: DefenceNVAE = struct.field(pytree_node=False)
+    classifier_apply: Callable = struct.field(pytree_node=False)
+    noise_std: float = struct.field(pytree_node=False, default=0.1)
 
     def get_purified(self, key, x):
         k1, k2 = jax.random.split(key)
@@ -53,7 +55,7 @@ class NDVaeDefense:
 
     def __call__(self, key, x, preds_only: bool = True):
         purified = self.get_purified(key, x)
-        logits = self.classifier_fn(purified)
+        logits = self.classifier_apply(self.classifier_variables, purified)
         return logits if preds_only else (logits, purified)
 
 

@@ -4,10 +4,12 @@ reference's load_defense.py:17-146 in SerezD/gen_adversarial).
 Checkpoint paths in the YAML point at converted flax msgpack files (see
 tools/convert_checkpoints.py); everything else (attack hyperparameters,
 classifier/MLVGM class per experiment) is selected exactly like the
-reference.
+reference.  Defenses come out as pytree dataclasses (defenses/base.py) so
+the harness passes them as jit arguments - weights never become HLO
+constants.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable
 
@@ -19,7 +21,7 @@ from gen_adversarial_tpu.core.config import (
     defense_type_of, experiment_of)
 from gen_adversarial_tpu.core.checkpoint import load_variables
 from gen_adversarial_tpu.defenses.base import (
-    ClassifierDefense, MLVGMDefense, make_classifier_fn)
+    ClassifierDefense, MLVGMDefense, make_classifier_apply)
 from gen_adversarial_tpu.defenses.ablations import (
     GaussianNoiseDefense, GaussianBlurDefense)
 from gen_adversarial_tpu.defenses.competitors import AVaeDefense, NDVaeDefense
@@ -38,10 +40,19 @@ class LoadedDefense:
     defense_type: str
     image_size: int
     n_classes: int
-    defense: object                  # callable(key, x, preds_only)
-    net: Callable                    # EoT-wrapped (key, x) -> logits
+    defense: object                  # pytree dataclass: callable(key, x, preds_only)
+    eot_steps: int
+    eot_chunk: int | None
     attacks: dict                    # name -> callable(key, net, x, y)
-    get_purified: Callable           # (key, x) -> purified images
+
+    @property
+    def net(self):
+        """Convenience EoT-wrapped logits fn (closure form; for jitted use
+        pass self.defense as an argument instead - see eval/harness.py)."""
+        return eot_wrap(self.defense, self.eot_steps, chunk=self.eot_chunk)
+
+    def get_purified(self, key, x):
+        return self.defense.get_purified(key, x)
 
 
 def build_attacks(experiment: str, n_classes: int) -> dict:
@@ -58,10 +69,10 @@ def build_attacks(experiment: str, n_classes: int) -> dict:
     }
 
 
-def load_classifier_fn(experiment: str, path: str):
+def load_classifier_parts(experiment: str, path: str):
     model = make_classifier(CLASSIFIER_TYPE[experiment], N_CLASSES[experiment])
     variables, _ = load_variables(path)
-    return make_classifier_fn(model, variables)
+    return make_classifier_apply(model), variables
 
 
 def load_defense(config_path: str, eot_steps: int = 32,
@@ -74,26 +85,23 @@ def load_defense(config_path: str, eot_steps: int = 32,
     image_size = IMAGE_SIZE[experiment]
     n_classes = N_CLASSES[experiment]
 
-    classifier_fn = load_classifier_fn(experiment, cfg.classifier_path)
+    clf_apply, clf_vars = load_classifier_parts(experiment, cfg.classifier_path)
     attacks = build_attacks(experiment, n_classes)
 
     if defense_type in ("base", "trades"):
-        defense = ClassifierDefense(classifier_fn)
-        net = lambda key, x: defense(key, x)
-        return LoadedDefense(experiment, defense_type, image_size, n_classes,
-                             defense, net, attacks, defense.get_purified)
-
-    if defense_type == "ablation":
+        defense = ClassifierDefense(clf_vars, clf_apply)
+    elif defense_type == "ablation":
         if cfg.type == "noise":
             defense = GaussianNoiseDefense(
-                classifier_fn, eps=2.0 if experiment == "ids" else 4.0)
+                clf_vars, clf_apply, eps=2.0 if experiment == "ids" else 4.0)
         else:
-            defense = GaussianBlurDefense(classifier_fn, image_size)
+            defense = GaussianBlurDefense(clf_vars, clf_apply, image_size)
     elif defense_type == "A-VAE":
         from gen_adversarial_tpu.models.avae.model import StyledGenerator
         model = StyledGenerator(image_size)
         variables, _ = load_variables(cfg.autoencoder_path)
-        defense = AVaeDefense(model, variables, classifier_fn, cfg.kernel_size)
+        defense = AVaeDefense(variables, clf_vars, model, clf_apply,
+                              cfg.kernel_size)
     elif defense_type == "ND-VAE":
         from gen_adversarial_tpu.models.ndvae.model import DefenceNVAE
         model = DefenceNVAE(
@@ -101,35 +109,61 @@ def load_defense(config_path: str, eot_steps: int = 32,
             pre_proc_groups=cfg.pre_proc_groups, scales=cfg.scales,
             groups=cfg.groups, cells=cfg.cells, input_dim=image_size)
         variables, _ = load_variables(cfg.autoencoder_path)
-        defense = NDVaeDefense(model, variables, classifier_fn, cfg.noise_std)
+        defense = NDVaeDefense(variables, clf_vars, model, clf_apply,
+                               cfg.noise_std)
     elif defense_type == "ours":
         # attenuation pre-applied (abstract_models.py:107)
         alphas = jnp.asarray(cfg.interpolation_alphas) * cfg.alpha_attenuation
         variables, meta = load_variables(cfg.autoencoder_path)
-        if experiment == "gender":
-            from gen_adversarial_tpu.models.e4e.psp import PSP
-            model = PSP(stylegan_size=1024)
-            purify = make_e4e_purify(model, variables, alphas)
-            normalize = True
-        elif experiment == "ids":
-            from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
-            nv_cfg = NVAEConfig(**meta["config"]) if "config" in meta else NVAEConfig()
-            model = NVAE(nv_cfg)
-            purify = make_nvae_purify(model, variables, alphas)
-            normalize = False
-        else:  # cars
-            from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
-            model = StyleTransformer(output_size=256)
-            purify = make_trans_purify(model, variables, alphas)
-            normalize = True
+        model, purify_apply, normalize = _ours_components(experiment, meta)
         defense = MLVGMDefense(
-            purify_fn=purify, classifier_fn=classifier_fn, image_size=image_size,
+            purify_variables=variables, classifier_variables=clf_vars,
+            alphas=alphas, purify_apply=purify_apply,
+            classifier_apply=clf_apply, image_size=image_size,
             initial_noise_eps=cfg.initial_noise_eps,
             apply_blur=cfg.gaussian_blur_input,
             normalize_before_purify=normalize)
     else:
         raise NotImplementedError(defense_type)
 
-    net = eot_wrap(defense, eot_steps, chunk=eot_chunk)
     return LoadedDefense(experiment, defense_type, image_size, n_classes,
-                         defense, net, attacks, defense.get_purified)
+                         defense, eot_steps, eot_chunk, attacks)
+
+
+def _ours_components(experiment: str, meta: dict):
+    if experiment == "gender":
+        from gen_adversarial_tpu.models.e4e.psp import PSP
+        model = PSP(stylegan_size=1024)
+        return model, make_e4e_purify(model), True
+    if experiment == "ids":
+        from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
+        nv_cfg = NVAEConfig(**meta["config"]) if "config" in meta else NVAEConfig()
+        model = NVAE(nv_cfg)
+        return model, make_nvae_purify(model), False
+    from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
+    model = StyleTransformer(output_size=256)
+    return model, make_trans_purify(model), True
+
+
+def load_ours_for_search(config_path: str):
+    """For alpha search: load the 'ours' defense components once and return
+    (experiment, image_size, make_defense) where make_defense(alphas) purely
+    rebuilds the defense pytree for a new (already attenuated) alpha vector
+    - traceable, so the search objective never retraces (AlphaEvaluator)."""
+    cfg = DefenseConfig.from_yaml(config_path)
+    assert defense_type_of(config_path) == "ours"
+    experiment = experiment_of(config_path)
+    image_size = IMAGE_SIZE[experiment]
+    clf_apply, clf_vars = load_classifier_parts(experiment, cfg.classifier_path)
+    variables, meta = load_variables(cfg.autoencoder_path)
+    model, purify_apply, normalize = _ours_components(experiment, meta)
+
+    def make_defense(alphas):
+        return MLVGMDefense(
+            purify_variables=variables, classifier_variables=clf_vars,
+            alphas=jnp.asarray(alphas), purify_apply=purify_apply,
+            classifier_apply=clf_apply, image_size=image_size,
+            initial_noise_eps=0.0, apply_blur=False,
+            normalize_before_purify=normalize)
+
+    return experiment, image_size, make_defense

@@ -14,6 +14,7 @@ SerezD/gen_adversarial), redesigned TPU-first:
 
 import json
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -64,13 +65,21 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
     attack_names = [a for a in ("deepfool", "c&w", "autoattack")
                     if attack_filter is None or a == attack_filter]
 
-    net = loaded.net
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    defense = loaded.defense  # pytree: passed as a jit ARGUMENT so model
+    # weights stay buffers, not HLO constants
+
+    def _run_attack(fn, d, k, x, y):
+        net = eot_wrap(d, loaded.eot_steps, chunk=loaded.eot_chunk)
+        return fn(k, net, x, y)
+
     jit_attacks = {
-        name: jax.jit(lambda k, x, y, fn=loaded.attacks[name]: fn(k, net, x, y))
+        name: jax.jit(partial(_run_attack, loaded.attacks[name]))
         for name in attack_names}
 
     @jax.jit
-    def clean_preds(key, x):
+    def clean_preds(d, key, x):
+        net = eot_wrap(d, loaded.eot_steps, chunk=loaded.eot_chunk)
         return jnp.argmax(net(key, x), axis=1)
 
     key = jax.random.PRNGKey(seed)
@@ -89,13 +98,13 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         b = x.shape[0]
 
         key, k_clean = jax.random.split(key)
-        preds = clean_preds(k_clean, x)
+        preds = clean_preds(defense, k_clean, x)
         clean_correct.extend(np.asarray(preds == y).tolist())
 
         for name in attack_names:
             key, k_attack, k_pur = jax.random.split(key, 3)
             t0 = time.time()
-            succ, bound, adv = jit_attacks[name](k_attack, x, y)
+            succ, bound, adv = jit_attacks[name](defense, k_attack, x, y)
             succ, bound = np.asarray(succ), np.asarray(bound)
             log_fn(f"[{name}] batch of {b}: {succ.sum()}/{b} succeeded, "
                    f"median L2 {np.median(np.where(succ, bound, np.nan)):.3f} "

@@ -31,16 +31,17 @@ class AlphaEvaluator:
     adversarial set, as a function of the alpha vector
     (common_utils.py:32-103).
 
-    `make_defense(alphas)` rebuilds the defense closure for a new alpha
-    vector; because alphas enter the jitted purify as a plain array
-    argument, re-evaluation does NOT retrace - the objective is one cached
-    XLA program per batch shape.
+    The defense is a pytree dataclass (defenses/base.py) passed to the
+    jitted objective as an ARGUMENT with `.replace(alphas=...)` swapping the
+    alpha leaf - so re-evaluation with new alphas reuses the same compiled
+    XLA program, mirroring the reference's in-place alpha mutation
+    (common_utils.py:88) without its eager re-dispatch.
     """
 
-    def __init__(self, defense_for_alphas, images, labels, attenuation: float,
+    def __init__(self, defense_template, images, labels, attenuation: float,
                  eot_steps: int = 32, batch_size: int = 16, seed: int = 0):
         from gen_adversarial_tpu.defenses.eot import eot_wrap
-        self.defense_for_alphas = defense_for_alphas
+        self.defense = defense_template
         self.images = np.asarray(images)
         self.labels = np.asarray(labels)
         self.attenuation = attenuation
@@ -48,8 +49,7 @@ class AlphaEvaluator:
         self.batch_size = batch_size
         self.key = jax.random.PRNGKey(seed)
 
-        def accuracy_batch(key, x, y, alphas):
-            defense = self.defense_for_alphas(alphas)
+        def accuracy_batch(defense, key, x, y):
             net = eot_wrap(defense, self.eot_steps)
             preds = jnp.argmax(net(key, x), axis=1)
             return jnp.sum(preds == y)
@@ -58,12 +58,13 @@ class AlphaEvaluator:
 
     def objective_function(self, alphas) -> float:
         alphas = jnp.asarray(alphas) * self.attenuation
+        defense = self.defense.replace(alphas=alphas)
         correct, total = 0, 0
         bs = self.batch_size
         for i in range(0, len(self.images), bs):
             x = jnp.asarray(self.images[i:i + bs])
             y = jnp.asarray(self.labels[i:i + bs])
             self.key, sub = jax.random.split(self.key)
-            correct += int(self._acc_batch(sub, x, y, alphas))
+            correct += int(self._acc_batch(defense, sub, x, y))
             total += int(x.shape[0])
         return correct / max(total, 1)

@@ -86,8 +86,9 @@ def test_avae_generator_shapes_and_defense():
     m, v, img = model.apply(variables, x, key)
     assert m.shape == (2, 4, 4, 512) and img.shape == (2, 64, 64, 3)
 
-    clf = lambda z: z.reshape(z.shape[0], -1) @ jnp.ones((64 * 64 * 3, 4))
-    defense = AVaeDefense(model, variables, clf, kernel_size=2)
+    clf_w = jnp.ones((64 * 64 * 3, 4))
+    clf_apply = lambda v, z: z.reshape(z.shape[0], -1) @ v
+    defense = AVaeDefense(variables, clf_w, model, clf_apply, kernel_size=2)
     logits, purified = defense(key, jnp.asarray(
         np.random.rand(2, 64, 64, 3).astype(np.float32)), preds_only=False)
     assert logits.shape == (2, 4) and purified.shape == (2, 64, 64, 3)
@@ -190,8 +191,9 @@ def test_ndvae_defense_wrapper(ref_ndvae):
                         scales=2, groups=1, cells=1, input_dim=32)
     variables = jax.jit(lambda k: model.init(
         k, jnp.zeros((1, 32, 32, 3)), k))(jax.random.PRNGKey(0))
-    clf = lambda z: z.reshape(z.shape[0], -1) @ jnp.ones((32 * 32 * 3, 4))
-    defense = NDVaeDefense(model, variables, clf, noise_std=0.1)
+    clf_w = jnp.ones((32 * 32 * 3, 4))
+    clf_apply = lambda v, z: z.reshape(z.shape[0], -1) @ v
+    defense = NDVaeDefense(variables, clf_w, model, clf_apply, noise_std=0.1)
     x = jnp.asarray(np.random.rand(2, 32, 32, 3).astype(np.float32))
     logits, purified = defense(jax.random.PRNGKey(1), x, preds_only=False)
     assert logits.shape == (2, 4)

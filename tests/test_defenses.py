@@ -33,32 +33,30 @@ def test_l2_noise_norm():
 
 
 def _linear_classifier(n_classes=4, d=8 * 8 * 3, seed=0):
+    """(variables, apply) pair for the pytree-defense API."""
     rng = np.random.RandomState(seed)
     W = jnp.asarray(rng.randn(d, n_classes).astype(np.float32))
-
-    def classifier_fn(x):
-        return x.reshape(x.shape[0], -1) @ W
-
-    return classifier_fn
+    return W, (lambda v, x: x.reshape(x.shape[0], -1) @ v)
 
 
 def test_ablation_defenses():
-    clf = _linear_classifier()
+    w, apply = _linear_classifier()
     key = jax.random.PRNGKey(0)
     x = jnp.asarray(np.random.RandomState(1).rand(2, 8, 8, 3).astype(np.float32))
-    noise_def = GaussianNoiseDefense(clf, eps=2.0)
+    noise_def = GaussianNoiseDefense(w, apply, eps=2.0)
     logits, purified = noise_def(key, x, preds_only=False)
     assert logits.shape == (2, 4)
     assert not np.allclose(np.asarray(purified), np.asarray(x))
 
-    blur_def = GaussianBlurDefense(_linear_classifier(d=64 * 64 * 3), image_size=64)
+    w64, apply64 = _linear_classifier(d=64 * 64 * 3)
+    blur_def = GaussianBlurDefense(w64, apply64, image_size=64)
     logits2 = blur_def(key, jnp.asarray(np.random.rand(2, 64, 64, 3).astype(np.float32)))
     assert logits2.shape == (2, 4)
 
 
 def test_eot_wrap_reduces_variance():
-    clf = _linear_classifier()
-    noise_def = GaussianNoiseDefense(clf, eps=1.0)
+    w, apply = _linear_classifier()
+    noise_def = GaussianNoiseDefense(w, apply, eps=1.0)
     x = jnp.asarray(np.random.RandomState(2).rand(1, 8, 8, 3).astype(np.float32))
 
     single = [np.asarray(noise_def(jax.random.PRNGKey(i), x)) for i in range(8)]
@@ -87,9 +85,11 @@ def tiny_nvae():
 
 def test_nvae_defense_pipeline(tiny_nvae):
     model, variables, cfg = tiny_nvae
-    clf = _linear_classifier(d=16 * 16 * 3)
-    purify = make_nvae_purify(model, variables, jnp.full((cfg.n_latents,), 0.3))
-    defense = MLVGMDefense(purify_fn=purify, classifier_fn=clf, image_size=16,
+    w, apply = _linear_classifier(d=16 * 16 * 3)
+    defense = MLVGMDefense(purify_variables=variables, classifier_variables=w,
+                           alphas=jnp.full((cfg.n_latents,), 0.3),
+                           purify_apply=make_nvae_purify(model),
+                           classifier_apply=apply, image_size=16,
                            initial_noise_eps=0.5, apply_blur=False,
                            normalize_before_purify=False)
     key = jax.random.PRNGKey(3)
@@ -106,8 +106,8 @@ def test_nvae_defense_pipeline(tiny_nvae):
 
 
 def test_classifier_defense():
-    clf = _linear_classifier()
-    d = ClassifierDefense(clf)
+    w, apply = _linear_classifier()
+    d = ClassifierDefense(w, apply)
     x = jnp.asarray(np.random.rand(2, 8, 8, 3).astype(np.float32))
     logits = d(None, x)
     assert logits.shape == (2, 4)
