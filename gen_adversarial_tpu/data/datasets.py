@@ -62,21 +62,40 @@ class ImageNameLabelDataset(ImageLabelDataset):
 
 def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
-                    drop_last: bool = True, prefetch: int = 2):
+                    drop_last: bool = True, prefetch: int = 2,
+                    use_native: bool = True):
     """Yield dict batches {'image': (B,H,W,C) f32, 'label': (B,) i32} with a
     background prefetch thread (the host-side analogue of DataLoader
-    workers; device transfer overlaps via jax's async dispatch)."""
+    workers; device transfer overlaps via jax's async dispatch).
+
+    When the native C++ loader (native/fastloader.cpp) is available, whole
+    batches are decoded+resized by its thread pool; otherwise falls back to
+    per-image PIL."""
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
     n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
+
+    native = None
+    if use_native:
+        from gen_adversarial_tpu.data import fastloader
+        if fastloader.available():
+            native = fastloader
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
     def producer():
         for b in range(n_batches):
             idx = order[b * batch_size:(b + 1) * batch_size]
-            imgs = np.stack([dataset.load_image(i) for i in idx])
+            if native is not None:
+                try:
+                    imgs = native.decode_batch(
+                        [dataset.files[i] for i in idx],
+                        dataset.image_size, dataset.image_size)
+                except RuntimeError:
+                    imgs = np.stack([dataset.load_image(i) for i in idx])
+            else:
+                imgs = np.stack([dataset.load_image(i) for i in idx])
             q.put({"image": imgs, "label": dataset.labels[idx]})
         q.put(None)
 
