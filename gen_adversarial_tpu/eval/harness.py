@@ -56,11 +56,24 @@ def save_example_plot(path: Path, original: np.ndarray, adversarial: np.ndarray,
 def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
                   batch_size: int = 8, seed: int = 42,
                   attack_filter: str | None = None, max_images: int | None = None,
-                  plots: bool = True, log_fn=print) -> dict:
-    """Full benchmark over a folder dataset; returns and writes results.json."""
+                  plots: bool = True, log_fn=print,
+                  n_devices: int | None = None) -> dict:
+    """Full benchmark over a folder dataset; returns and writes results.json.
+
+    With n_devices > 1, the image batch is sharded over a data-parallel mesh
+    and the defense replicated - the TPU equivalent of the reference's
+    per-rank DistributedSampler shards + all_gather of metric tensors
+    (test_defense.py:116,239-253); XLA runs each attack SPMD and the final
+    np.asarray is the gather."""
     dataset = ImageLabelDataset(images_path, loaded.image_size)
     results_folder = Path(results_folder)
     plots_folder = results_folder / "plots"
+
+    mesh = None
+    if n_devices is not None and n_devices > 1:
+        from gen_adversarial_tpu.core.mesh import make_mesh, batch_sharding, replicated
+        mesh = make_mesh(n_devices)
+        assert batch_size % n_devices == 0, (batch_size, n_devices)
 
     attack_names = [a for a in ("deepfool", "c&w", "autoattack")
                     if attack_filter is None or a == attack_filter]
@@ -82,6 +95,10 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         net = eot_wrap(d, loaded.eot_steps, chunk=loaded.eot_chunk)
         return jnp.argmax(net(key, x), axis=1)
 
+    if mesh is not None:
+        from gen_adversarial_tpu.core.mesh import batch_sharding, replicated
+        defense = jax.device_put(defense, replicated(mesh))
+
     key = jax.random.PRNGKey(seed)
     clean_correct: list = []
     distortions = {name: [] for name in attack_names}
@@ -95,6 +112,10 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         if max_images is not None and n_seen + x.shape[0] > max_images:
             x = x[: max_images - n_seen]
             y = y[: max_images - n_seen]
+        if mesh is not None and x.shape[0] % len(mesh.devices) == 0:
+            sh = batch_sharding(mesh)
+            x = jax.device_put(x, sh)
+            y = jax.device_put(y, sh)
         b = x.shape[0]
 
         key, k_clean = jax.random.split(key)

@@ -78,24 +78,35 @@ def shard_state_and_batch(mesh, state, batch):
 
 def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
         epochs: int, lr: float, batch_size: int, seed: int = 0,
-        eval_freq: int | None = None, log_fn=print, n_devices: int | None = None):
+        eval_freq: int | None = None, log_fn=print, n_devices: int | None = None,
+        checkpoint_dir: str | None = None, resume_step: int | None = None,
+        save_every: int | None = None):
     """End-to-end training loop (epoch structure mirrors
     classifier/train.py:261-302: validate every eval_freq epochs where
-    eval_freq = 1 if epochs <= 50 else 5)."""
+    eval_freq = 1 if epochs <= 50 else 5; periodic orbax checkpoints +
+    --resume_from equivalent via resume_step, train.py:221-236,292-301)."""
     from gen_adversarial_tpu.data.datasets import iterate_batches
+    from gen_adversarial_tpu.core.checkpoint import save_train_state, load_train_state
 
     model = make_classifier(model_type, n_classes)
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, rng, image_size, lr)
+    start_epoch = 0
+    if checkpoint_dir and resume_step is not None:
+        state = load_train_state(checkpoint_dir, resume_step, state)
+        start_epoch = resume_step
+        log_fn(f"[resume] from {checkpoint_dir} epoch {resume_step}")
     mesh = make_mesh(n_devices)
     if eval_freq is None:
         eval_freq = 1 if epochs <= 50 else 5
+    if save_every is None:
+        save_every = eval_freq * 2  # train.py:292
 
     step_key = jax.random.PRNGKey(seed + 1)
     history = []
     with jax.set_mesh(mesh):
         state = jax.device_put(state, replicated(mesh))
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             losses = []
             for batch in iterate_batches(train_ds, batch_size, shuffle=True,
                                          seed=seed + epoch):
@@ -117,4 +128,6 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
                 acc = correct / max(total, 1)
                 log_fn(f"[epoch {epoch + 1}] val accuracy {acc * 100:.2f}")
                 history.append({"epoch": epoch, "loss": epoch_loss, "acc": acc})
+            if checkpoint_dir and (epoch % save_every == 0 or epoch == epochs - 1):
+                save_train_state(checkpoint_dir, jax.device_get(state), epoch + 1)
     return state, history

@@ -78,6 +78,23 @@ def test_no_defense_benchmark(tiny_world):
     assert plots
 
 
+def test_benchmark_sharded_over_mesh(tiny_world):
+    """Multi-device eval: batch sharded over the 8-device CPU mesh."""
+    import jax as _jax
+    from gen_adversarial_tpu.eval.factory import load_defense
+    from gen_adversarial_tpu.eval.harness import run_benchmark
+
+    data_dir, ckpt, tmp = tiny_world
+    config = tmp / "no_defense_ids.yaml"
+    config.write_text(f"classifier_path: {ckpt}\n")
+    loaded = load_defense(str(config))
+    results = run_benchmark(loaded, str(data_dir), str(tmp / "results_mesh"),
+                            batch_size=8, max_images=8,
+                            attack_filter="deepfool", plots=False,
+                            log_fn=lambda s: None, n_devices=8)
+    assert len(results["DeepFool"]) == 8
+
+
 def test_ablation_noise_defense_via_factory(tiny_world):
     from gen_adversarial_tpu.eval.factory import load_defense
 
