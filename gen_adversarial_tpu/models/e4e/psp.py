@@ -42,11 +42,38 @@ class PSP(nn.Module):
         return self.decoder.run_style(z)
 
     def __call__(self, x, train: bool = False, resize: bool = True,
-                 noise_key=None, randomize_noise: bool = False):
-        codes = self.encode(x, train)
-        images, _ = self.decoder([codes], input_is_latent=True,
-                                 randomize_noise=randomize_noise,
-                                 noise_key=noise_key)
+                 noise_key=None, randomize_noise: bool = False,
+                 latent_mask=None, inject_latent=None, alpha=None,
+                 input_code: bool = False, is_cars: bool = False,
+                 return_latents: bool = False):
+        """Full pSp forward (psp.py:47-86) including the latent-editing
+        options: latent_mask lists style indices replaced by inject_latent
+        (alpha-blended when alpha is given, zeroed when inject_latent is
+        None); is_cars truncates 18 -> 16 styles."""
+        if input_code:
+            codes = x
+        else:
+            codes = self.encode(x, train)
+            if codes.shape[1] == 18 and is_cars:
+                codes = codes[:, :16, :]
+
+        if latent_mask is not None:
+            for i in latent_mask:
+                if inject_latent is not None:
+                    if alpha is not None:
+                        codes = codes.at[:, i].set(
+                            alpha * inject_latent[:, i] + (1 - alpha) * codes[:, i])
+                    else:
+                        codes = codes.at[:, i].set(inject_latent[:, i])
+                else:
+                    codes = codes.at[:, i].set(0.0)
+
+        images, latents = self.decoder([codes], input_is_latent=not input_code,
+                                       randomize_noise=randomize_noise,
+                                       noise_key=noise_key,
+                                       return_latents=return_latents)
         if resize:
             images = adaptive_avg_pool(images, 256, 256)
+        if return_latents:
+            return images, latents
         return images
