@@ -115,9 +115,9 @@ def load_defense(config_path: str, eot_steps: int = 32,
         # attenuation pre-applied (abstract_models.py:107)
         alphas = jnp.asarray(cfg.interpolation_alphas) * cfg.alpha_attenuation
         variables, meta = load_variables(cfg.autoencoder_path)
-        model, purify_apply, normalize = _ours_components(experiment, meta)
+        purify_apply, normalize, transform = _ours_components(experiment, meta)
         defense = MLVGMDefense(
-            purify_variables=variables, classifier_variables=clf_vars,
+            purify_variables=transform(variables), classifier_variables=clf_vars,
             alphas=alphas, purify_apply=purify_apply,
             classifier_apply=clf_apply, image_size=image_size,
             initial_noise_eps=cfg.initial_noise_eps,
@@ -131,18 +131,27 @@ def load_defense(config_path: str, eot_steps: int = 32,
 
 
 def _ours_components(experiment: str, meta: dict):
+    """-> (purify_apply, normalize_before_purify, variables_transform)."""
+    identity = lambda v: v
     if experiment == "gender":
         from gen_adversarial_tpu.models.e4e.psp import PSP
         model = PSP(stylegan_size=1024)
-        return model, make_e4e_purify(model), True
+        return make_e4e_purify(model), True, identity
     if experiment == "ids":
         from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
         nv_cfg = NVAEConfig(**meta["config"]) if "config" in meta else NVAEConfig()
+        # NOTE: models/nvae/scanned.py offers an exact-parity
+        # scan-over-groups purify with a much smaller HLO; measured on v5e it
+        # is a large RUNTIME pessimization under attack gradients (the scan
+        # serializes tiny per-group kernels and materializes stacked
+        # residuals: APGD-64 0.5s vs 7ms unrolled), so the unrolled tower
+        # stays the default and scanned remains opt-in for
+        # compile-time-constrained contexts.
         model = NVAE(nv_cfg)
-        return model, make_nvae_purify(model), False
+        return make_nvae_purify(model), False, identity
     from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
     model = StyleTransformer(output_size=256)
-    return model, make_trans_purify(model), True
+    return make_trans_purify(model), True, identity
 
 
 def load_ours_for_search(config_path: str):
@@ -156,7 +165,8 @@ def load_ours_for_search(config_path: str):
     image_size = IMAGE_SIZE[experiment]
     clf_apply, clf_vars = load_classifier_parts(experiment, cfg.classifier_path)
     variables, meta = load_variables(cfg.autoencoder_path)
-    model, purify_apply, normalize = _ours_components(experiment, meta)
+    purify_apply, normalize, transform = _ours_components(experiment, meta)
+    variables = transform(variables)
 
     def make_defense(alphas):
         return MLVGMDefense(
