@@ -29,24 +29,28 @@ def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
         return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear",
                                 antialias=antialias)
 
-    def axis_weights(in_size, out_size):
-        if out_size == 1:
-            idx = jnp.zeros((1,), jnp.int32)
-            return idx, idx, jnp.zeros((1,), x.dtype)
-        pos = jnp.arange(out_size, dtype=jnp.float32) * (in_size - 1) / (out_size - 1)
-        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
-        hi = jnp.clip(lo + 1, 0, in_size - 1)
-        frac = (pos - lo.astype(jnp.float32)).astype(x.dtype)
-        return lo, hi, frac
+    # align_corners=True as two interpolation MATMULS (out = A_y x A_x^T):
+    # TPU gathers serialize badly, while these land on the MXU.  The
+    # interpolation matrices are built at trace time from static shapes.
+    import numpy as _np
 
-    ylo, yhi, yf = axis_weights(h, out_h)
-    xlo, xhi, xf = axis_weights(w, out_w)
-    top = x[:, ylo]
-    bot = x[:, yhi]
-    rows = top + (bot - top) * yf[None, :, None, None]
-    left = rows[:, :, xlo]
-    right = rows[:, :, xhi]
-    return left + (right - left) * xf[None, None, :, None]
+    def interp_matrix(in_size, out_size):
+        a = _np.zeros((out_size, in_size), _np.float32)
+        if out_size == 1:
+            a[0, 0] = 1.0
+            return a
+        pos = _np.arange(out_size, dtype=_np.float64) * (in_size - 1) / (out_size - 1)
+        lo = _np.clip(_np.floor(pos).astype(_np.int64), 0, in_size - 1)
+        hi = _np.minimum(lo + 1, in_size - 1)
+        frac = (pos - lo).astype(_np.float32)
+        a[_np.arange(out_size), lo] += 1.0 - frac
+        a[_np.arange(out_size), hi] += frac
+        return a
+
+    ay = jnp.asarray(interp_matrix(h, out_h), x.dtype)
+    ax = jnp.asarray(interp_matrix(w, out_w), x.dtype)
+    y = jnp.einsum("oh,bhwc->bowc", ay, x)
+    return jnp.einsum("pw,bowc->bopc", ax, y)
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
