@@ -17,11 +17,16 @@ compares against a provisional A100 estimate for the same torch pipeline
 """
 
 import json
+import os
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# optional: GAT_BENCH_DTYPE=bfloat16 benchmarks the bf16 defense path (see
+# core/precision.py; ~1.8x on the purifier, accuracy parity unvalidated)
+BENCH_DTYPE = os.environ.get("GAT_BENCH_DTYPE", "float32")
 
 # Provisional torch/A100 estimate for EoT-32 NVAE purify+classify at 64px
 # (batch-1 harness images/sec; see BASELINE.md - the reference publishes no
@@ -39,6 +44,9 @@ def main():
     from gen_adversarial_tpu.defenses.eot import eot_wrap
 
     defense = _flagship()
+    if BENCH_DTYPE == "bfloat16":
+        from gen_adversarial_tpu.core.precision import cast_floating
+        defense = cast_floating(defense)
 
     @jax.jit
     def step(defense, key, x):
@@ -47,6 +55,8 @@ def main():
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 64, 64, 3).astype(np.float32))
+    if BENCH_DTYPE == "bfloat16":
+        x = x.astype(jnp.bfloat16)
     key = jax.random.PRNGKey(0)
 
     # warmup (compile + one forced execution)

@@ -1,0 +1,68 @@
+"""tools/convert_checkpoints.py end-to-end: fabricate reference-format torch
+checkpoints, run the CLI, load the msgpack, and check output parity."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from tests.torch_refs import TVResNet, WrappedClassifier
+
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def run_cli(*args):
+    return subprocess.run(
+        [sys.executable, str(REPO / "tools" / "convert_checkpoints.py"), *args],
+        capture_output=True, text=True, cwd=REPO)
+
+
+def test_classifier_conversion_cli(tmp_path):
+    torch.manual_seed(0)
+    model = WrappedClassifier(TVResNet((3, 4, 6, 3), n_classes=2))
+    for m in model.modules():
+        if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.6, 1.5)
+    model.eval()
+    src = tmp_path / "resnet.pt"
+    # the reference's trainer checkpoint format (classifier/train.py:298-300)
+    torch.save({"epoch": 5, "global_step": 100,
+                "state_dict": model.state_dict()}, src)
+
+    dst = tmp_path / "resnet.msgpack"
+    res = run_cli("--kind", "classifier", "--model-type", "resnet",
+                  "--src", str(src), "--dst", str(dst))
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert dst.exists()
+
+    from gen_adversarial_tpu.core.checkpoint import load_variables
+    from gen_adversarial_tpu.models.classifiers import ResNet50
+    variables, meta = load_variables(dst)
+    assert meta["model_type"] == "resnet"
+
+    x = np.random.RandomState(0).rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = model(torch.tensor(x)).numpy()
+    fm = ResNet50(n_classes=2)
+    got = fm.apply(jax.tree.map(jnp.asarray, variables),
+                   jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_cli_help_of_all_entrypoints():
+    """Every CLI module parses --help (argparse wiring smoke test)."""
+    for mod in ("gen_adversarial_tpu.cli.test_defense",
+                "gen_adversarial_tpu.cli.train_classifier",
+                "gen_adversarial_tpu.cli.trades_finetune",
+                "gen_adversarial_tpu.cli.train_avae",
+                "gen_adversarial_tpu.cli.train_ndvae",
+                "gen_adversarial_tpu.cli.alpha_search"):
+        res = subprocess.run([sys.executable, "-m", mod, "--help"],
+                             capture_output=True, text=True, cwd=REPO)
+        assert res.returncode == 0, (mod, res.stderr[-500:])
