@@ -89,7 +89,11 @@ def load_defense(config_path: str, eot_steps: int = 32,
     attacks = build_attacks(experiment, n_classes)
 
     if defense_type in ("base", "trades"):
+        # the reference leaves bare classifiers un-EoT-wrapped
+        # (load_defense.py:78-82,126-130); EoT over a deterministic model is
+        # a semantic no-op but costs 32x, so force 1 step
         defense = ClassifierDefense(clf_vars, clf_apply)
+        eot_steps = 1
     elif defense_type == "ablation":
         if cfg.type == "noise":
             defense = GaussianNoiseDefense(
