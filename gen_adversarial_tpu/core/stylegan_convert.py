@@ -187,7 +187,7 @@ def convert_style_transformer_encoder(sd: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def convert_style_transformer(ckpt: dict, output_size: int = 256) -> dict:
+def convert_style_transformer(ckpt: dict, output_size: int = 512) -> dict:
     """StyleTransformer checkpoint with encoder.module./decoder.module.
     prefixes (style_transformer.py:30-36)."""
     enc_sd = strip_prefix(ckpt, "encoder.module")

@@ -69,6 +69,10 @@ class MLVGMDefense:
     apply_blur: bool = struct.field(pytree_node=False, default=False)
     # mean/std (0.5, 0.5) normalization around purify; False for NVAE
     normalize_before_purify: bool = struct.field(pytree_node=False, default=True)
+    # rematerialize the purifier in backward passes: attacks that hold many
+    # cotangents (DeepFool/FAB class-jacobians x EoT x batch) OOM on HBM at
+    # high resolution without this; costs ~2x purify FLOPs on those paths
+    remat: bool = struct.field(pytree_node=False, default=False)
 
     def preprocess(self, key, x):
         if self.apply_blur:
@@ -82,7 +86,10 @@ class MLVGMDefense:
         x = self.preprocess(k_noise, x)
         if self.normalize_before_purify:
             x = (x - 0.5) / 0.5
-        out = self.purify_apply(self.purify_variables, self.alphas, k_purify, x)
+        apply = self.purify_apply
+        if self.remat:
+            apply = jax.checkpoint(apply)
+        out = apply(self.purify_variables, self.alphas, k_purify, x)
         if self.normalize_before_purify:
             out = out * 0.5 + 0.5
         return out

@@ -76,7 +76,8 @@ def load_classifier_parts(experiment: str, path: str):
 
 
 def load_defense(config_path: str, eot_steps: int = 32,
-                 eot_chunk: int | None = None) -> LoadedDefense:
+                 eot_chunk: int | None = None,
+                 remat: bool | None = None) -> LoadedDefense:
     """Build the defense named by a YAML config file (the config family name
     encodes defense_type and experiment, e.g. ours_cosine_noise_cars.yaml)."""
     cfg = DefenseConfig.from_yaml(config_path)
@@ -120,13 +121,17 @@ def load_defense(config_path: str, eot_steps: int = 32,
         alphas = jnp.asarray(cfg.interpolation_alphas) * cfg.alpha_attenuation
         variables, meta = load_variables(cfg.autoencoder_path)
         purify_apply, normalize, transform = _ours_components(experiment, meta)
+        if remat is None:
+            # the high-res StyleGAN purifiers OOM under class-jacobian
+            # attacks without rematerialization; the 64px NVAE does not
+            remat = experiment in ("gender", "cars")
         defense = MLVGMDefense(
             purify_variables=transform(variables), classifier_variables=clf_vars,
             alphas=alphas, purify_apply=purify_apply,
             classifier_apply=clf_apply, image_size=image_size,
             initial_noise_eps=cfg.initial_noise_eps,
             apply_blur=cfg.gaussian_blur_input,
-            normalize_before_purify=normalize)
+            normalize_before_purify=normalize, remat=remat)
     else:
         raise NotImplementedError(defense_type)
 
@@ -154,7 +159,7 @@ def _ours_components(experiment: str, meta: dict):
         model = NVAE(nv_cfg)
         return make_nvae_purify(model), False, identity
     from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
-    model = StyleTransformer(output_size=256)
+    model = StyleTransformer(output_size=512)
     return make_trans_purify(model), True, identity
 
 

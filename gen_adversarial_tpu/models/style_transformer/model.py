@@ -13,7 +13,9 @@ from gen_adversarial_tpu.ops.image import adaptive_avg_pool
 
 
 class StyleTransformer(nn.Module):
-    output_size: int = 256
+    # the cars checkpoint's generator is 512px: n_styles = 2*log2(512)-2 = 16,
+    # matching the encoder's 16 query tokens and the configs' 16 alphas
+    output_size: int = 512
     start_from_latent_avg: bool = True
 
     @property

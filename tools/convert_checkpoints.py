@@ -46,7 +46,7 @@ def main():
     p.add_argument("--temperature", type=float, default=0.6,
                    help="NVAE per-temperature state dict selector")
     p.add_argument("--stylegan-size", type=int, default=1024)
-    p.add_argument("--output-size", type=int, default=256)
+    p.add_argument("--output-size", type=int, default=512)
     p.add_argument("--image-size", type=int, default=128,
                    help="A-VAE / ND-VAE input resolution")
     p.add_argument("--ndvae", nargs=6, type=int, default=None,
