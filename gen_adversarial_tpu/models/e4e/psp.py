@@ -41,6 +41,15 @@ class PSP(nn.Module):
         """The generator's style MLP (used for sampling new w's in purify)."""
         return self.decoder.run_style(z)
 
+    def init_all(self, x):
+        """Initialization entry point that touches every submodule: the
+        defense decode path uses input_is_latent=True, so a plain __call__
+        init would never materialize the style-MLP parameters the purify
+        mixing needs.  Use `model.init(key, x, method=PSP.init_all)`."""
+        codes = self.encode(x)
+        _ = self.style(jnp.zeros((1, 512), x.dtype))
+        return self.decode(codes)
+
     def __call__(self, x, train: bool = False, resize: bool = True,
                  noise_key=None, randomize_noise: bool = False,
                  latent_mask=None, inject_latent=None, alpha=None,
