@@ -80,6 +80,13 @@ class Generator(nn.Module):
             z = layer(z)
         return z
 
+    def make_noise(self, key):
+        """Fresh per-layer noise maps (generator.py:381-390)."""
+        keys = jax.random.split(key, self.num_layers)
+        return [jax.random.normal(keys[i], (1, 2 ** ((i + 5) // 2),
+                                            2 ** ((i + 5) // 2), 1))
+                for i in range(self.num_layers)]
+
     def mean_latent(self, key, n_latent: int):
         z = jax.random.normal(key, (n_latent, self.style_dim))
         return jnp.mean(self.run_style(z), axis=0, keepdims=True)
