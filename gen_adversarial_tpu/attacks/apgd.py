@@ -8,8 +8,6 @@ updates inside one lax.fori_loop — the check *schedule* is data-independent
 looked up per iteration; only the halving *decision* is per-sample.
 """
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -2,8 +2,6 @@
 step, sign normalized to unit L2, projected onto the L2 ball, with
 early-exit for already-misclassified inputs."""
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -108,7 +108,6 @@ def convert_ndvae(sd: dict, model) -> dict:
 
     # h: flax-initialized (see module docstring); take shape from the model
     import jax
-    import jax.numpy as jnp
     h_scaling = 2 ** (model.scales + 1)
     r = max(model.input_dim // h_scaling, 4)
     enc_out = model.encoding_channels * (2 ** model.pre_proc_groups) * \

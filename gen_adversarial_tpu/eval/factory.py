@@ -11,7 +11,6 @@ constants.
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ document it here.
 """
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -7,8 +7,6 @@ the coarse(3)/middle(7)/fine split, gated by the progressive stage
 (Inference = all deltas active, encoder.py:113-140).
 """
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ Notes vs the reference:
   the kernel at call time.
 """
 
-from typing import Sequence
-
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn

@@ -14,7 +14,7 @@ prior.sample(temp), with NF applied post-interpolation and the decode taken
 as the DiscMixLogistic mean.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

@@ -13,8 +13,6 @@ order, same math; parity-tested).  Eval-mode only (running BN stats);
 normalizing-flow configs fall back to the unrolled model.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -2,8 +2,6 @@
 alpha_learning/common_utils.py in SerezD/gen_adversarial)."""
 
 import math
-from pathlib import Path
-
 import numpy as np
 import jax
 import jax.numpy as jnp

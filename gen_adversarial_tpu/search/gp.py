@@ -9,8 +9,6 @@ or a sliver of the TPU; the expensive part - the objective - stays a jitted
 EoT defense epoch.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -9,12 +9,8 @@ inside the jitted train step, so augmentation fuses into the forward pass
 instead of stalling the input pipeline.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-
-from gen_adversarial_tpu.ops.image import resize_bilinear
 
 
 def _random_resized_crop(key, img, scale=(0.75, 1.0), ratio=(3 / 4, 4 / 3)):

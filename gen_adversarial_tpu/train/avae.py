@@ -9,8 +9,6 @@ through the blur/fused-sample ops (the reason the reference hand-writes
 BlurFunctionBackward, modules.py:106-162).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -24,10 +22,6 @@ def make_avae_trainers(img_size: int, kernel_size: int, lr: float = 1e-3):
     disc = AVAEDiscriminator(img_size)
 
     # style MLP at lr * 0.01 (train.py:228-234)
-    def style_mask(params):
-        return jax.tree_util.tree_map_with_path(
-            lambda path, _: "style_layers" in jax.tree_util.keystr(path), params)
-
     g_tx = optax.multi_transform(
         {"style": optax.adam(lr * 0.01, b1=0.0, b2=0.99),
          "rest": optax.adam(lr, b1=0.0, b2=0.99)},

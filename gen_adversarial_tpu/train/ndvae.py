@@ -5,8 +5,6 @@ NVAE_utils.py:20-60 in SerezD/gen_adversarial), plus the FGSM
 adversarial-dataset generator (generate_fgsm_data.py:39-77).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
