@@ -55,6 +55,51 @@ def test_classifier_conversion_cli(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
 
 
+def test_nvae_conversion_cli(tmp_path):
+    """--kind nvae against the reference checkpoint format
+    ({'configuration', 'state_dict_temp=t'}, loading_utils.py:51-66)."""
+    from tests.reference_oracle import load_reference
+    load_reference()
+    from src.mlvgms_autoencoders.NVAE.model import AutoEncoder
+
+    ae_args = {"initial_channels": 8, "num_pre-post_process_blocks": 1,
+               "num_pre-post_process_cells": 2, "num_logistic_mixtures": 5,
+               "num_scales": 2, "min_groups_per_scale": 1,
+               "num_groups_per_scale": 2, "is_adaptive": True,
+               "num_cells_per_group": 1, "num_latent_per_group": 4,
+               "num_nf_cells": 1}
+    torch.manual_seed(0)
+    ae = AutoEncoder(ae_args, resolution=(3, 32, 32))
+    for m in ae.modules():
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.6, 1.5)
+    ae.eval()
+    src = tmp_path / "nvae.pt"
+    torch.save({"configuration": {"autoencoder": ae_args,
+                                  "resolution": (3, 32, 32)},
+                "state_dict_temp=0.6": ae.state_dict()}, src)
+
+    dst = tmp_path / "nvae.msgpack"
+    res = run_cli("--kind", "nvae", "--src", str(src), "--dst", str(dst),
+                  "--temperature", "0.6")
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    from gen_adversarial_tpu.core.checkpoint import load_variables
+    from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
+    variables, meta = load_variables(dst)
+    cfg = NVAEConfig(**meta["config"])
+    model = NVAE(cfg)
+    x = np.random.RandomState(0).rand(1, 3, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = ae.reconstruct(torch.tensor(x), deterministic=True).numpy()
+    got = model.apply(jax.tree.map(jnp.asarray, variables),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)),
+                      jax.random.PRNGKey(0), True, method=NVAE.reconstruct)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-3, atol=5e-4)
+
+
 def test_cli_help_of_all_entrypoints():
     """Every CLI module parses --help (argparse wiring smoke test)."""
     for mod in ("gen_adversarial_tpu.cli.test_defense",
