@@ -7,7 +7,7 @@ from flax import linen as nn
 
 from gen_adversarial_tpu.models.e4e.encoder import Encoder4Editing
 from gen_adversarial_tpu.models.stylegan2.generator import Generator
-from gen_adversarial_tpu.ops.image import adaptive_avg_pool
+from gen_adversarial_tpu.ops.image import adaptive_avg_pool_general
 
 
 class PSP(nn.Module):
@@ -35,7 +35,7 @@ class PSP(nn.Module):
         images, _ = self.decoder([codes], input_is_latent=True,
                                  randomize_noise=randomize_noise,
                                  noise_key=noise_key)
-        return adaptive_avg_pool(images, 256, 256)
+        return adaptive_avg_pool_general(images, 256, 256)
 
     def style(self, z):
         """The generator's style MLP (used for sampling new w's in purify)."""
@@ -82,7 +82,7 @@ class PSP(nn.Module):
                                        noise_key=noise_key,
                                        return_latents=return_latents)
         if resize:
-            images = adaptive_avg_pool(images, 256, 256)
+            images = adaptive_avg_pool_general(images, 256, 256)
         if return_latents:
             return images, latents
         return images

@@ -9,7 +9,7 @@ from flax import linen as nn
 
 from gen_adversarial_tpu.models.style_transformer.encoder import GradualStyleEncoder
 from gen_adversarial_tpu.models.stylegan2.generator import Generator
-from gen_adversarial_tpu.ops.image import adaptive_avg_pool
+from gen_adversarial_tpu.ops.image import adaptive_avg_pool_general
 
 
 class StyleTransformer(nn.Module):
@@ -50,7 +50,7 @@ class StyleTransformer(nn.Module):
         images, _ = self.decoder([codes], input_is_latent=True,
                                  randomize_noise=randomize_noise,
                                  noise_key=noise_key)
-        return adaptive_avg_pool(images, 256, 256)
+        return adaptive_avg_pool_general(images, 256, 256)
 
     def __call__(self, x, train: bool = False, resize: bool = True,
                  noise_key=None, randomize_noise: bool = False):
@@ -59,5 +59,5 @@ class StyleTransformer(nn.Module):
                                  randomize_noise=randomize_noise,
                                  noise_key=noise_key)
         if resize:
-            images = adaptive_avg_pool(images, 256, 256)
+            images = adaptive_avg_pool_general(images, 256, 256)
         return images

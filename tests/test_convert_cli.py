@@ -100,6 +100,58 @@ def test_nvae_conversion_cli(tmp_path):
                                rtol=1e-3, atol=5e-4)
 
 
+def test_e4e_conversion_cli(tmp_path):
+    """--kind e4e against the pSp checkpoint format ({'state_dict' with
+    encoder./decoder. prefixes, 'latent_avg', 'opts'}, psp.py:39-45)."""
+    from argparse import Namespace
+    from tests.reference_oracle import load_reference
+    load_reference()
+    from src.mlvgms_autoencoders.StyleGan_E4E.encoding.encoder import Encoder4Editing
+    from src.mlvgms_autoencoders.StyleGan_E4E.stylegan2.generator import Generator as RefGen
+
+    torch.manual_seed(1)
+    size = 64
+    enc = Encoder4Editing(50, "ir_se", Namespace(stylegan_size=size))
+    gen = RefGen(size, 512, 8, channel_multiplier=2)
+    for m in enc.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.6, 1.5)
+    enc.eval(); gen.eval()
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in gen.state_dict().items()})
+    latent_avg = torch.randn(2 * 6 - 2, 512)
+    src = tmp_path / "e4e.pt"
+    torch.save({"state_dict": sd, "latent_avg": latent_avg,
+                "opts": {"stylegan_size": size}}, src)
+
+    dst = tmp_path / "e4e.msgpack"
+    res = run_cli("--kind", "e4e", "--src", str(src), "--dst", str(dst),
+                  "--stylegan-size", str(size))
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    from gen_adversarial_tpu.core.checkpoint import load_variables
+    from gen_adversarial_tpu.models.e4e.psp import PSP
+    variables, meta = load_variables(dst)
+    model = PSP(stylegan_size=size)
+
+    x = np.random.RandomState(2).rand(1, 3, 256, 256).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        codes_t = enc(torch.tensor(x)) + latent_avg[None]
+        img_t, _ = gen([codes_t], input_is_latent=True, randomize_noise=False)
+    codes_j = model.apply(jax.tree.map(jnp.asarray, variables),
+                          jnp.asarray(x.transpose(0, 2, 3, 1)), method=PSP.encode)
+    np.testing.assert_allclose(np.asarray(codes_j), codes_t.numpy(),
+                               rtol=2e-3, atol=2e-3)
+    img_j = model.apply(jax.tree.map(jnp.asarray, variables),
+                        codes_t.numpy(), method=PSP.decode)
+    # decode face-pools to 256; the reference decode path does too (psp.py:109-115)
+    import torch.nn.functional as TF
+    want = TF.adaptive_avg_pool2d(img_t, 256).numpy()
+    np.testing.assert_allclose(np.asarray(img_j).transpose(0, 3, 1, 2), want,
+                               rtol=3e-3, atol=3e-3)
+
+
 def test_cli_help_of_all_entrypoints():
     """Every CLI module parses --help (argparse wiring smoke test)."""
     for mod in ("gen_adversarial_tpu.cli.test_defense",
