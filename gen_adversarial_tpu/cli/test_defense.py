@@ -27,7 +27,19 @@ def main():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="shard each batch over a local data-parallel mesh")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize (env-configured"
+                        " coordinator), each process runs its dataset shard, "
+                        "metrics are all-gathered (the reference's torchrun/"
+                        "mp.spawn equivalent)")
     args = p.parse_args()
+
+    distributed = False
+    if args.distributed:
+        from gen_adversarial_tpu.core.distributed import maybe_initialize
+        distributed = maybe_initialize()
 
     from gen_adversarial_tpu.eval.factory import load_defense
     from gen_adversarial_tpu.eval.harness import run_benchmark
@@ -37,7 +49,8 @@ def main():
     run_benchmark(loaded, args.images_path, args.results_folder,
                   batch_size=args.batch_size, seed=args.seed,
                   attack_filter=args.attack, max_images=args.max_images,
-                  plots=not args.no_plots)
+                  plots=not args.no_plots, n_devices=args.n_devices,
+                  distributed=distributed)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,25 @@ import argparse
 from pathlib import Path
 
 
+def load_pretrained_backbone(path: str, model_type: str, n_classes: int,
+                             image_size: int, seed: int = 0) -> dict:
+    """torchvision .pt state dict -> flax variables with a fresh projector
+    head (core/torch_convert.convert_torchvision_backbone)."""
+    import torch
+    import jax
+    import jax.numpy as jnp
+    from gen_adversarial_tpu.core.torch_convert import convert_torchvision_backbone
+    from gen_adversarial_tpu.models.classifiers import make_classifier
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+    model = make_classifier(model_type, n_classes)
+    init = model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, image_size, image_size, 3)), train=False)
+    return convert_torchvision_backbone(sd, model_type, init)
+
+
 def main():
     p = argparse.ArgumentParser("TPU classifier training")
     p.add_argument("--data-path", required=True,
@@ -27,17 +46,29 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--n-devices", type=int, default=None)
     p.add_argument("--checkpoint-path", default=None)
+    p.add_argument("--pretrained", default=None, metavar="TORCHVISION_PT",
+                   help="path to a torchvision ImageNet state dict (.pt); "
+                        "initializes the backbone from it with a fresh "
+                        "projector head, like the reference's DEFAULT-weights "
+                        "init (classifier/model.py:15-16)")
     args = p.parse_args()
 
     from gen_adversarial_tpu.data.datasets import ImageLabelDataset
     from gen_adversarial_tpu.train.classifier import fit
+
+    init_variables = None
+    if args.pretrained:
+        init_variables = load_pretrained_backbone(
+            args.pretrained, args.model_type, args.n_classes,
+            args.image_size, args.seed)
 
     tds = ImageLabelDataset(f"{args.data_path}/train", args.image_size)
     vds = ImageLabelDataset(f"{args.data_path}/validation", args.image_size)
     state, history = fit(args.model_type, args.n_classes, args.image_size,
                          tds, vds, epochs=args.epochs, lr=args.lr,
                          batch_size=args.cumulative_bs, seed=args.seed,
-                         n_devices=args.n_devices)
+                         n_devices=args.n_devices,
+                         init_variables=init_variables)
 
     if args.checkpoint_path:
         from gen_adversarial_tpu.core.checkpoint import save_variables

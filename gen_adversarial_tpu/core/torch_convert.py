@@ -75,9 +75,11 @@ def _projector(sd: dict, prefix: str):
     return params, {"bn": bns}
 
 
-def convert_resnet(sd: dict, layers=(3, 4, 6, 3)) -> dict:
+def convert_resnet(sd: dict, layers=(3, 4, 6, 3), head: bool = True) -> dict:
     """torchvision resnet50/resnext50 ('model.' wrapper prefix,
-    classifier/model.py:10-28) -> ResNetBackbone variables."""
+    classifier/model.py:10-28) -> ResNetBackbone variables.  head=False
+    converts the backbone only (for ImageNet-pretrained init, where the
+    torchvision fc is replaced by a fresh projector)."""
     params, stats = {}, {}
     params["conv1"] = {"kernel": conv_w(sd["model.conv1.weight"])}
     params["bn1"], stats["bn1"] = take_bn(sd, "model.bn1")
@@ -93,11 +95,12 @@ def convert_resnet(sd: dict, layers=(3, 4, 6, 3)) -> dict:
                 bp["downsample_conv"] = {"kernel": conv_w(sd[f"{tp}.downsample.0.weight"])}
                 bp["downsample_bn"], bs["downsample_bn"] = take_bn(sd, f"{tp}.downsample.1")
             params[fp], stats[fp] = bp, bs
-    params["fc"], stats["fc"] = _projector(sd, "model.fc")
+    if head:
+        params["fc"], stats["fc"] = _projector(sd, "model.fc")
     return {"params": params, "batch_stats": stats}
 
 
-def convert_vgg(sd: dict, plan=VGG11_PLAN) -> dict:
+def convert_vgg(sd: dict, plan=VGG11_PLAN, head: bool = True) -> dict:
     """torchvision vgg11_bn (classifier/model.py:31-49) -> VGG11BN variables."""
     params, stats = {}, {}
     t_idx, conv_i = 0, 0
@@ -109,7 +112,8 @@ def convert_vgg(sd: dict, plan=VGG11_PLAN) -> dict:
         params[f"bn{conv_i}"], stats[f"bn{conv_i}"] = take_bn(sd, f"model.features.{t_idx + 1}")
         t_idx += 3
         conv_i += 1
-    params["classifier"], stats["classifier"] = _projector(sd, "model.classifier")
+    if head:
+        params["classifier"], stats["classifier"] = _projector(sd, "model.classifier")
     return {"params": params, "batch_stats": stats}
 
 
@@ -260,3 +264,27 @@ def convert_classifier(sd: dict, model_type: str) -> dict:
     if model_type == "vgg":
         return convert_vgg(sd)
     raise ValueError(model_type)
+
+
+def convert_torchvision_backbone(sd: dict, model_type: str,
+                                 init_variables: dict, **kw) -> dict:
+    """ImageNet-pretrained initialization (reference classifier/model.py:
+    15-16,36-37,57-58: torchvision DEFAULT weights with the original head
+    replaced by a fresh projector).  `sd` is a RAW torchvision state dict
+    (no 'model.' wrapper, original 1000-class head); the returned variables
+    carry the converted backbone and keep the projector head from
+    `init_variables` (a fresh model.init)."""
+    head_name = "fc" if model_type in ("resnet", "resnext") else "classifier"
+    sd = {f"model.{k}": np.asarray(v) for k, v in sd.items()
+          if not k.startswith(f"{head_name}.")}
+    if model_type in ("resnet", "resnext"):
+        conv = convert_resnet(sd, head=False, **kw)
+    elif model_type == "vgg":
+        conv = convert_vgg(sd, head=False, **kw)
+    else:
+        raise ValueError(model_type)
+    params = dict(conv["params"])
+    stats = dict(conv["batch_stats"])
+    params[head_name] = init_variables["params"][head_name]
+    stats[head_name] = init_variables["batch_stats"][head_name]
+    return {"params": params, "batch_stats": stats}

@@ -63,7 +63,8 @@ class ImageNameLabelDataset(ImageLabelDataset):
 def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
                     drop_last: bool = True, prefetch: int = 2,
-                    use_native: bool = True):
+                    use_native: bool = True,
+                    shard: tuple[int, int] = (0, 1)):
     """Yield dict batches {'image': (B,H,W,C) f32, 'label': (B,) i32} with a
     background prefetch thread (the host-side analogue of DataLoader
     workers; device transfer overlaps via jax's async dispatch).
@@ -74,6 +75,10 @@ def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    # round-robin process shard (the DistributedSampler equivalent,
+    # reference test_defense.py:116); (0, 1) = the whole dataset
+    pid, pcount = shard
+    order = order[pid::pcount]
     n_batches = len(order) // batch_size if drop_last else -(-len(order) // batch_size)
 
     native = None

@@ -28,8 +28,3 @@ def eot_wrap(defense, eot_steps: int = 32, chunk: int | None = None):
         return jnp.mean(logits, axis=0)
 
     return net
-
-
-def eot_purified(defense, key, x, eot_steps: int = 1):
-    """Convenience for the harness's qualitative dumps (get_purified)."""
-    return defense.get_purified(key, x)

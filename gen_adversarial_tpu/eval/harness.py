@@ -43,28 +43,47 @@ def _pad_border(img: np.ndarray, success: bool | None, pad: int) -> np.ndarray:
 
 def save_example_plot(path: Path, original: np.ndarray, adversarial: np.ndarray,
                       purified: np.ndarray, success: bool, bound: float):
-    from PIL import Image
+    """One row [original | adversarial | purified] with white/red/green-
+    bordered tiles and the attack's L2 bound rendered in a title strip
+    (the make_grid + plt.title dump at test_defense.py:205-237)."""
+    from PIL import Image, ImageDraw
     pad = int(np.log2(original.shape[0]))
     row = np.concatenate([
         _pad_border(original, None, pad),
         _pad_border(np.clip(adversarial, 0, 1), True, pad),
         _pad_border(np.clip(purified, 0, 1), bool(success), pad)], axis=1)
+    img = Image.fromarray((row * 255).astype(np.uint8))
+    strip = 14
+    canvas = Image.new("RGB", (img.width, img.height + strip), "black")
+    canvas.paste(img, (0, strip))
+    ImageDraw.Draw(canvas).text(
+        (2, 2), f"original, adversarial [L2={bound:.2f}], cleaned", fill="white")
     path.parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray((row * 255).astype(np.uint8)).save(path)
+    canvas.save(path)
 
 
 def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
                   batch_size: int = 8, seed: int = 42,
                   attack_filter: str | None = None, max_images: int | None = None,
                   plots: bool = True, log_fn=print,
-                  n_devices: int | None = None) -> dict:
+                  n_devices: int | None = None,
+                  distributed: bool = False) -> dict:
     """Full benchmark over a folder dataset; returns and writes results.json.
 
     With n_devices > 1, the image batch is sharded over a data-parallel mesh
     and the defense replicated - the TPU equivalent of the reference's
     per-rank DistributedSampler shards + all_gather of metric tensors
     (test_defense.py:116,239-253); XLA runs each attack SPMD and the final
-    np.asarray is the gather."""
+    np.asarray is the gather.
+
+    With distributed=True (after core.distributed.maybe_initialize), each
+    PROCESS additionally runs its round-robin shard of the dataset
+    independently and the metric lists are all-gathered process-major at
+    the end, exactly like the reference's DistributedSampler +
+    all_gather/cat; process 0 writes results.json and the plots."""
+    from gen_adversarial_tpu.core.distributed import process_shard, allgather_lists
+    pid, pcount = process_shard() if distributed else (0, 1)
+
     dataset = ImageLabelDataset(images_path, loaded.image_size)
     results_folder = Path(results_folder)
     plots_folder = results_folder / "plots"
@@ -99,34 +118,48 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         from gen_adversarial_tpu.core.mesh import batch_sharding, replicated
         defense = jax.device_put(defense, replicated(mesh))
 
-    key = jax.random.PRNGKey(seed)
+    key = jax.random.PRNGKey(seed + pid)
     clean_correct: list = []
     distortions = {name: [] for name in attack_names}
     n_seen = 0
+    # cap is global; this process sees its round-robin share of the first
+    # max_images dataset entries
+    if max_images is not None:
+        max_images = len(range(pid, max_images, pcount))
+    plots = plots and pid == 0
 
-    for batch in iterate_batches(dataset, batch_size, drop_last=False):
+    for batch in iterate_batches(dataset, batch_size, drop_last=False,
+                                 shard=(pid, pcount)):
         if max_images is not None and n_seen >= max_images:
             break
-        x = jnp.clip(jnp.asarray(batch["image"]), 0.0, 1.0)
-        y = jnp.asarray(batch["label"])
+        x = np.clip(np.asarray(batch["image"]), 0.0, 1.0)
+        y = np.asarray(batch["label"])
         if max_images is not None and n_seen + x.shape[0] > max_images:
             x = x[: max_images - n_seen]
             y = y[: max_images - n_seen]
-        if mesh is not None and x.shape[0] % len(mesh.devices) == 0:
+        # pad ragged (last) batches back to batch_size: keeps ONE compiled
+        # program per attack (no retrace on the tail) and keeps the batch
+        # divisible by the mesh - a ragged tail would otherwise silently
+        # fall off the sharded path; padded rows are trimmed from results
+        b = x.shape[0]
+        if b < batch_size:
+            reps = np.concatenate([np.arange(b), np.zeros(batch_size - b, int)])
+            x, y = x[reps], y[reps]
+        x, y = jnp.asarray(x), jnp.asarray(y)
+        if mesh is not None:
             sh = batch_sharding(mesh)
             x = jax.device_put(x, sh)
             y = jax.device_put(y, sh)
-        b = x.shape[0]
 
         key, k_clean = jax.random.split(key)
         preds = clean_preds(defense, k_clean, x)
-        clean_correct.extend(np.asarray(preds == y).tolist())
+        clean_correct.extend(np.asarray(preds == y)[:b].tolist())
 
         for name in attack_names:
             key, k_attack, k_pur = jax.random.split(key, 3)
             t0 = time.time()
             succ, bound, adv = jit_attacks[name](defense, k_attack, x, y)
-            succ, bound = np.asarray(succ), np.asarray(bound)
+            succ, bound = np.asarray(succ)[:b], np.asarray(bound)[:b]
             log_fn(f"[{name}] batch of {b}: {succ.sum()}/{b} succeeded, "
                    f"median L2 {np.median(np.where(succ, bound, np.nan)):.3f} "
                    f"({time.time() - t0:.1f}s)")
@@ -134,18 +167,31 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
             distortions[name].extend(
                 np.where(succ, bound, 100.0).astype(float).tolist())
 
-            if plots and (n_seen // batch_size) % 5 == 0:
-                purified = loaded.get_purified(k_pur, adv)
-                save_example_plot(
-                    plots_folder / f"{name}_example={n_seen}.png",
-                    np.asarray(x[0]), np.asarray(adv[0]),
-                    np.clip(np.asarray(purified[0]), 0, 1),
-                    bool(succ[0]), float(bound[0]))
+            # every-5th-IMAGE qualitative dump, per attack, like the
+            # reference's rank-0 `idx % 5 == 0` loop (test_defense.py:202-237)
+            dump_idx = [i for i in range(b) if (n_seen + i) % 5 == 0]
+            if plots and dump_idx:
+                purified = np.clip(np.asarray(loaded.get_purified(k_pur, adv)), 0, 1)
+                adv_np, x_np = np.asarray(adv), np.asarray(x)
+                for i in dump_idx:
+                    save_example_plot(
+                        plots_folder / f"{name}_example={n_seen + i}.png",
+                        x_np[i], adv_np[i], purified[i],
+                        bool(succ[i]), float(bound[i]))
         n_seen += b
 
-    results = _merge_results(results_folder / "results.json",
-                             float(np.mean(clean_correct)), distortions)
-    log_fn(f"[results] clean accuracy {results['Clean']:.4f}")
+    if pcount > 1:
+        clean_correct = allgather_lists(clean_correct, pcount)
+        distortions = {name: allgather_lists(vals, pcount)
+                       for name, vals in distortions.items()}
+
+    results = dict(Clean=float(np.mean(clean_correct)))
+    if pid == 0:
+        results = _merge_results(results_folder / "results.json",
+                                 results["Clean"], distortions)
+        log_fn(f"[results] clean accuracy {results['Clean']:.4f}")
+    else:
+        results.update({ATTACK_JSON_NAMES[n]: v for n, v in distortions.items()})
     return results
 
 

@@ -80,7 +80,7 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
         epochs: int, lr: float, batch_size: int, seed: int = 0,
         eval_freq: int | None = None, log_fn=print, n_devices: int | None = None,
         checkpoint_dir: str | None = None, resume_step: int | None = None,
-        save_every: int | None = None):
+        save_every: int | None = None, init_variables: dict | None = None):
     """End-to-end training loop (epoch structure mirrors
     classifier/train.py:261-302: validate every eval_freq epochs where
     eval_freq = 1 if epochs <= 50 else 5; periodic orbax checkpoints +
@@ -91,6 +91,13 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
     model = make_classifier(model_type, n_classes)
     rng = jax.random.PRNGKey(seed)
     state = create_train_state(model, rng, image_size, lr)
+    if init_variables is not None:
+        # e.g. an ImageNet-pretrained backbone + fresh projector, the
+        # reference's starting point (classifier/model.py:15-16)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, init_variables["params"]),
+            batch_stats=jax.tree.map(jnp.asarray,
+                                     init_variables.get("batch_stats", {})))
     start_epoch = 0
     if checkpoint_dir and resume_step is not None:
         state = load_train_state(checkpoint_dir, resume_step, state)
