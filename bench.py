@@ -1,19 +1,29 @@
 """Benchmark: purified-images/sec/chip through the flagship NVAE defense.
 
-Measures the hot inner loop of the evaluation harness - the EoT-32
-stochastic purification + classification forward (SURVEY.md 3.1: the
-dominant cost of every attack iteration) - on one TPU chip, and prints ONE
+Headline metric (default run): the hot inner loop of the evaluation harness
+- the EoT-32 stochastic purification + classification forward (SURVEY.md
+3.1: the dominant cost of every attack iteration) - at the REAL ids scale
+(NVAE initial_channels=32, 24 latent groups, vgg11_bn/100) on one TPU chip,
+in bfloat16 (the promoted fast path: weights cast once, f32 logits
+contract; parity vs f32 is guarded by tests/test_precision.py).  Prints ONE
 JSON line.
+
+GAT_BENCH selects other measurements (each still prints one JSON line):
+  flagship_bf16 (default) | flagship_f32 | apgd_bf16 | apgd_f32
+  | gender_f32 | cars_f32 | all  (all = every entry, merged into the
+  headline line's "extra" field)
 
 Measurement integrity note: this runtime lazily cancels computations whose
 output buffers are dropped, and block_until_ready alone has been observed
-not to force execution - so the timed loop keeps every output and forces
+not to force execution - so every timed loop keeps all outputs and forces
 execution with a single scalar fetch that depends on all of them
 (verified linear in iteration count).
 
-The reference never measures throughput (BASELINE.md); `vs_baseline`
-compares against a provisional A100 estimate for the same torch pipeline
-(BASELINE_A100_IMG_S below) until a reference GPU run can be taken.
+`vs_baseline` anchor: the reference publishes no throughput (BASELINE.md).
+BASELINE_A100_IMG_S is derived from a MEASURED run of the reference torch
+pipeline at the same flagship scale on this host's CPU
+(tools/bench_reference_torch.py) scaled by a documented FLOPs ratio - see
+BASELINE.md "Measured" for the arithmetic and provenance.
 """
 
 import json
@@ -24,60 +34,200 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# optional: GAT_BENCH_DTYPE=bfloat16 benchmarks the bf16 defense path (see
-# core/precision.py; ~1.8x on the purifier, accuracy parity unvalidated)
-BENCH_DTYPE = os.environ.get("GAT_BENCH_DTYPE", "float32")
-
-# Provisional torch/A100 estimate for EoT-32 NVAE purify+classify at 64px
-# (batch-1 harness images/sec; see BASELINE.md - the reference publishes no
-# number, so both sides must be measured; this anchors vs_baseline until
-# then).
+# Anchor for vs_baseline: estimated A100 img/s for the reference torch
+# pipeline (EoT-32 NVAE purify+classify, flagship ids scale, batch-1
+# harness).  Derivation in BASELINE.md: measured torch-CPU throughput on
+# this host x (A100 f32-conv throughput / host-CPU throughput) FLOPs ratio.
 BASELINE_A100_IMG_S = 15.0
 
-BATCH = 16
+MODE = os.environ.get("GAT_BENCH", "flagship_bf16")
+if os.environ.get("GAT_BENCH_DTYPE") == "float32" and MODE == "flagship_bf16":
+    MODE = "flagship_f32"  # legacy round-1 env
+
 EOT = 32
-ITERS = 5
+
+
+def _timed(step, args, iters: int, per_iter_images: int):
+    """Time `iters` calls of jitted `step` (already warmed), rotating the
+    key; returns img/s.  Forces execution via one scalar over all outputs."""
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        outs.append(step(*args, sub))
+    total = float(jnp.sum(jnp.stack([jnp.sum(o) for o in outs])))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(total)
+    return per_iter_images / dt
+
+
+def _forward_bench(defense, batch: int, size: int, iters: int = 5,
+                   eot_chunk: int | None = None):
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+
+    @jax.jit
+    def step(defense, x, key):
+        return jnp.sum(eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)(key, x))
+
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3), jnp.float32)
+    float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
+    return _timed(step, (defense, x), iters, batch)
+
+
+def bench_flagship(dtype: str):
+    from __graft_entry__ import _flagship
+    defense = _flagship()
+    if dtype == "bfloat16":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense)
+    return {
+        "metric": "eot32_nvae_defense_images_per_sec_per_chip",
+        "value": round(_forward_bench(defense, batch=16, size=64), 2),
+        "unit": "img/s", "dtype": dtype,
+        "config": "ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, batch 16",
+    }
+
+
+def bench_apgd(dtype: str):
+    """Per-attack-iteration throughput: APGD-CE through the EoT-32 flagship
+    defense (forward+backward per iteration - the real eval cost,
+    SURVEY.md 3.1)."""
+    from __graft_entry__ import _flagship
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    from gen_adversarial_tpu.attacks.apgd import apgd_attack
+
+    defense = _flagship()
+    if dtype == "bfloat16":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense)
+
+    BATCH, N_ITER = 16, 16
+
+    @jax.jit
+    def step(defense, x, y, key):
+        net = eot_wrap(defense, eot_steps=EOT)
+        succ, bound, adv = apgd_attack(key, net, x, y, n_iter=N_ITER,
+                                       rho=0.75, max_bound=4.0, ce_loss=True)
+        return jnp.sum(bound) + jnp.sum(adv)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 100, BATCH))
+    float(step(defense, x, y, jax.random.PRNGKey(0)))
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    outs = []
+    ITERS = 3
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        outs.append(step(defense, x, y, sub))
+    total = float(jnp.sum(jnp.stack(outs)))
+    dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(total)
+    return {
+        "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
+        "value": round(BATCH * N_ITER / dt, 2),
+        "unit": "img*iter/s", "dtype": dtype,
+        "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
+    }
+
+
+def _synth_mlvgm_defense(task: str):
+    """Real-scale gender (E4E/1024px + resnet50) and cars (Style-Transformer
+    512px + resnext50) defenses with synthesized weights (throughput is
+    value-independent; see __graft_entry__._synth_variables)."""
+    from __graft_entry__ import _synth_variables
+    from gen_adversarial_tpu.defenses.base import MLVGMDefense, make_classifier_apply
+    from gen_adversarial_tpu.models.classifiers import make_classifier
+
+    key = jax.random.PRNGKey(0)
+    if task == "gender":
+        from gen_adversarial_tpu.models.e4e.psp import PSP
+        from gen_adversarial_tpu.defenses.purify import make_e4e_purify
+        model = PSP(stylegan_size=1024)
+        x0 = jnp.zeros((1, 256, 256, 3))
+        variables = _synth_variables(
+            lambda k, x: model.init(k, x, method=PSP.init_all), key, x0,
+            cache_key="psp_1024")
+        purify_apply, n_alphas, size, n_classes, clf = (
+            make_e4e_purify(model), 18, 256, 2, "resnet")
+    else:
+        from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
+        from gen_adversarial_tpu.defenses.purify import make_trans_purify
+        model = StyleTransformer(output_size=512)
+        x0 = jnp.zeros((1, 192, 256, 3))
+        variables = _synth_variables(
+            lambda k, x: model.init(k, x), key, x0, cache_key="trans_512")
+        purify_apply, n_alphas, size, n_classes, clf = (
+            make_trans_purify(model), 16, 128, 4, "resnext")
+
+    clf_model = make_classifier(clf, n_classes)
+    clf_vars = _synth_variables(
+        lambda k, x: clf_model.init(k, x, train=False), key,
+        jnp.zeros((1, size, size, 3)), cache_key=f"{clf}_{task}")
+    alphas = jnp.linspace(0.04, 1.0, n_alphas) * (1.0 if task == "gender" else 0.7)
+    return MLVGMDefense(
+        purify_variables=variables, classifier_variables=clf_vars,
+        alphas=alphas, purify_apply=purify_apply,
+        classifier_apply=make_classifier_apply(clf_model), image_size=size,
+        initial_noise_eps=4.0, normalize_before_purify=True)
+
+
+def bench_task(task: str, dtype: str):
+    defense = _synth_mlvgm_defense(task)
+    if dtype == "bfloat16":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense)
+    batch = 2 if task == "gender" else 8
+    chunk = 8 if task == "gender" else None
+    size = defense.image_size
+    return {
+        "metric": f"eot32_{task}_defense_images_per_sec_per_chip",
+        "value": round(_forward_bench(defense, batch=batch, size=size,
+                                      iters=3, eot_chunk=chunk), 2),
+        "unit": "img/s", "dtype": dtype,
+        "config": ("gender: E4E+StyleGAN2-1024 + resnet50/2, batch 2, eot-chunk 8"
+                   if task == "gender"
+                   else "cars: StyleTransformer-512 + resnext50/4, batch 8"),
+    }
+
+
+BENCHES = {
+    "flagship_bf16": lambda: bench_flagship("bfloat16"),
+    "flagship_f32": lambda: bench_flagship("float32"),
+    "apgd_bf16": lambda: bench_apgd("bfloat16"),
+    "apgd_f32": lambda: bench_apgd("float32"),
+    "gender_f32": lambda: bench_task("gender", "float32"),
+    "gender_bf16": lambda: bench_task("gender", "bfloat16"),
+    "cars_f32": lambda: bench_task("cars", "float32"),
+    "cars_bf16": lambda: bench_task("cars", "bfloat16"),
+}
 
 
 def main():
-    from __graft_entry__ import _flagship
-    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    defense = _flagship()
-    if BENCH_DTYPE == "bfloat16":
-        from gen_adversarial_tpu.core.precision import cast_floating
-        defense = cast_floating(defense)
-
-    @jax.jit
-    def step(defense, key, x):
-        # scalar result: one tiny fetch forces the whole step
-        return jnp.sum(eot_wrap(defense, eot_steps=EOT)(key, x))
-
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3).astype(np.float32))
-    if BENCH_DTYPE == "bfloat16":
-        x = x.astype(jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-
-    # warmup (compile + one forced execution)
-    float(step(defense, key, x))
-
-    t0 = time.perf_counter()
-    outs = []
-    for i in range(ITERS):
-        key, sub = jax.random.split(key)
-        outs.append(step(defense, sub, x))
-    total = float(jnp.sum(jnp.stack(outs)))  # forces every step
-    dt = (time.perf_counter() - t0) / ITERS
-    assert np.isfinite(total)
-
-    img_s = BATCH / dt
-    print(json.dumps({
-        "metric": "eot32_nvae_defense_images_per_sec_per_chip",
-        "value": round(img_s, 2),
-        "unit": "img/s",
-        "vs_baseline": round(img_s / BASELINE_A100_IMG_S, 2),
-    }))
+    if MODE == "all":
+        results = {}
+        for name, fn in BENCHES.items():
+            try:
+                results[name] = fn()
+            except Exception as e:  # report partial coverage, never crash
+                results[name] = {"error": f"{type(e).__name__}: {e}"}
+        head = results.pop("flagship_bf16")
+        out = dict(head, vs_baseline=round(head["value"] / BASELINE_A100_IMG_S, 2),
+                   extra=results)
+    else:
+        head = BENCHES[MODE]()
+        out = dict(head)
+        if MODE.startswith("flagship"):
+            out["vs_baseline"] = round(head["value"] / BASELINE_A100_IMG_S, 2)
+        else:
+            out["vs_baseline"] = None  # anchor exists for the headline only
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

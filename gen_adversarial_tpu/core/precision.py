@@ -17,3 +17,21 @@ def cast_floating(tree, dtype=jnp.bfloat16):
             return x.astype(dtype)
         return x
     return jax.tree.map(cast, tree)
+
+
+def defense_astype(defense, dtype=jnp.bfloat16):
+    """Return the defense with all floating weights cast to `dtype` and
+    `compute_dtype` set, so the model forward/backward runs in `dtype`
+    while the defense's external contract (logits, purified images, attack
+    math) stays float32 (see defenses/base.py boundary casts).  Weights are
+    cast ONCE here - casting per call would re-stream every parameter
+    through HBM on each attack step.
+
+    Defense dataclasses without a compute_dtype field (noise/blur ablations,
+    competitor wrappers) only get their weights cast; inputs stay f32 and
+    promotion keeps their pipeline f32-dominant, which is correct but not a
+    fast path."""
+    cast = cast_floating(defense, dtype)
+    if "compute_dtype" in getattr(type(defense), "__dataclass_fields__", {}):
+        cast = cast.replace(compute_dtype=dtype)
+    return cast

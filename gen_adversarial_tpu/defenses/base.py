@@ -43,9 +43,13 @@ class ClassifierDefense:
     (abstract_models.py:13-62).  Also the 'base' and 'trades' defense types."""
     classifier_variables: Any
     classifier_apply: Callable = struct.field(pytree_node=False)
+    compute_dtype: Any = struct.field(pytree_node=False, default=None)
 
     def classify(self, x):
-        return self.classifier_apply(self.classifier_variables, x)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        logits = self.classifier_apply(self.classifier_variables, x)
+        return logits.astype(jnp.float32)
 
     def __call__(self, key, x, preds_only: bool = True):
         logits = self.classify(x)
@@ -73,6 +77,13 @@ class MLVGMDefense:
     # cotangents (DeepFool/FAB class-jacobians x EoT x batch) OOM on HBM at
     # high resolution without this; costs ~2x purify FLOPs on those paths
     remat: bool = struct.field(pytree_node=False, default=False)
+    # run purifier + classifier in this dtype (bf16 fast path on TPU): the
+    # image is cast on entry and logits/purified outputs are cast back to
+    # float32, so attack math (grads, norms, projections) stays f32 while
+    # the HBM-bound model forward/backward runs at half the bandwidth.
+    # Use precision.defense_astype to set this (it also casts the weights
+    # once, instead of per-call).
+    compute_dtype: Any = struct.field(pytree_node=False, default=None)
 
     def preprocess(self, key, x):
         if self.apply_blur:
@@ -84,6 +95,8 @@ class MLVGMDefense:
     def purified(self, key, x):
         k_noise, k_purify = jax.random.split(key)
         x = self.preprocess(k_noise, x)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         if self.normalize_before_purify:
             x = (x - 0.5) / 0.5
         apply = self.purify_apply
@@ -97,10 +110,13 @@ class MLVGMDefense:
     def __call__(self, key, x, preds_only: bool = True):
         purified = self.purified(key, x)
         logits = self.classifier_apply(self.classifier_variables, purified)
-        return logits if preds_only else (logits, purified)
+        logits = logits.astype(jnp.float32)
+        if preds_only:
+            return logits
+        return logits, purified.astype(jnp.float32)
 
     def get_purified(self, key, x):
-        return self.purified(key, x)
+        return self.purified(key, x).astype(jnp.float32)
 
 
 def make_classifier_apply(model, mean: float | None = 0.5, std: float = 0.5):

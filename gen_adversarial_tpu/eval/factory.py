@@ -76,9 +76,14 @@ def load_classifier_parts(experiment: str, path: str):
 
 def load_defense(config_path: str, eot_steps: int = 32,
                  eot_chunk: int | None = None,
-                 remat: bool | None = None) -> LoadedDefense:
+                 remat: bool | None = None,
+                 dtype: str | None = None) -> LoadedDefense:
     """Build the defense named by a YAML config file (the config family name
-    encodes defense_type and experiment, e.g. ours_cosine_noise_cars.yaml)."""
+    encodes defense_type and experiment, e.g. ours_cosine_noise_cars.yaml).
+
+    dtype='bfloat16' runs the purifier+classifier in bf16 (weights cast once,
+    f32 boundary contract - see core/precision.defense_astype); attack math
+    stays f32."""
     cfg = DefenseConfig.from_yaml(config_path)
     defense_type = defense_type_of(config_path)
     experiment = experiment_of(config_path)
@@ -133,6 +138,10 @@ def load_defense(config_path: str, eot_steps: int = 32,
             normalize_before_purify=normalize, remat=remat)
     else:
         raise NotImplementedError(defense_type)
+
+    if dtype is not None and dtype != "float32":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense, jnp.dtype(dtype))
 
     return LoadedDefense(experiment, defense_type, image_size, n_classes,
                          defense, eot_steps, eot_chunk, attacks)

@@ -17,6 +17,7 @@ StyleGan_Trans/models/stylegan2/model.py in SerezD/gen_adversarial):
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,12 +38,26 @@ def _norm1d(k) -> np.ndarray:
     return k / k.sum()
 
 
+# Route the up=1/down=1 blur sites through the Pallas VMEM-fused separable
+# kernel (ops/pallas_upfirdn.py) on TPU.  Opt-out with GAT_PALLAS_BLUR=0;
+# bit-exactness and the x-VJP are covered by tests/test_pallas_upfirdn.py.
+# Measured on v5e (f32, batch 64, the StyleGAN-1024 blur pyramid): 32.3x at
+# 32^2x512, 9.3x at 64^2x512; 0.74-0.88x at >=128^2 where XLA's two-pass
+# depthwise lowering stops being channel-bound - hence the spatial gate.
+_PALLAS_BLUR = os.environ.get("GAT_PALLAS_BLUR", "1") != "0"
+_PALLAS_BLUR_MAX_H = 96
+
+
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):
     """Blur module (generator.py:50-66): separable FIR, kernel scaled by
     factor^2 when following an upsampling conv."""
     k = jnp.asarray(_norm1d(kernel_1d))
     if upsample_factor > 1:
         k = k * upsample_factor  # (factor**2) split over the two 1-D passes
+    if (_PALLAS_BLUR and x.shape[1] <= _PALLAS_BLUR_MAX_H
+            and jax.default_backend() == "tpu"):
+        from gen_adversarial_tpu.ops.pallas_upfirdn import pallas_blur_diff
+        return pallas_blur_diff(x, k.astype(x.dtype), tuple(pad))
     return upfirdn2d(x, k, up=1, down=1, pad=pad)
 
 

@@ -55,14 +55,34 @@ def _blur_kernel(k_ref, x_hbm, out_ref, *, taps, th, w_out, c_tile,
     )
 
 
-@partial(jax.jit, static_argnames=("pad", "interpret"))
 def pallas_blur(x: jnp.ndarray, kernel1d: jnp.ndarray, pad: tuple = (2, 1),
                 interpret: bool = False) -> jnp.ndarray:
     """Fused separable FIR blur (up=1, down=1): upfirdn2d(x, k1d, 1, 1, pad).
 
     x: (B, H, W, C); kernel1d: (taps,) separable factor (same semantics as
-    ops/upfirdn2d.upfirdn2d with a 1-D kernel).
-    """
+    ops/upfirdn2d.upfirdn2d with a 1-D kernel).  vmap-compatible: mapped
+    axes fold into the grid's batch dimension (the EoT wrapper vmaps the
+    whole purifier over PRNG keys, so this runs under vmap in every
+    defense)."""
+
+    @jax.custom_batching.custom_vmap
+    def call(x, k):
+        return _pallas_blur_call(x, k, pad, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, x, k):
+        assert in_batched[0] and not in_batched[1], in_batched
+        v = x.shape[0]
+        out = call(x.reshape((-1,) + x.shape[2:]), k)
+        return out.reshape((v, -1) + out.shape[1:]), True
+
+    return call(x, kernel1d)
+
+
+@partial(jax.jit, static_argnames=("pad", "interpret"))
+def _pallas_blur_call(x: jnp.ndarray, kernel1d: jnp.ndarray,
+                      pad: tuple = (2, 1),
+                      interpret: bool = False) -> jnp.ndarray:
     b, h, w, c = x.shape
     taps = int(kernel1d.shape[0])
     pad0, pad1 = pad
@@ -98,9 +118,36 @@ def pallas_blur(x: jnp.ndarray, kernel1d: jnp.ndarray, pad: tuple = (2, 1),
         out_shape=jax.ShapeDtypeStruct((b, n_h * th, w_out, c + c_pad), x.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, th, w_out, c_tile),
                                lambda bi, hi, ci: (bi, hi, 0, ci)),
         interpret=interpret,
     )(k, xp)
     return out[:, :h_out, :, :c]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def pallas_blur_diff(x, kernel1d, pad, interpret=False):
+    """Differentiable (in x) pallas_blur for the model path.
+
+    The FIR taps are fixed binomial constants in every StyleGAN2 blur site
+    (generator.py:50-66 upstream) - never parameters - so their cotangent is
+    defined as zero.  The x-VJP is the transposed-parameter upfirdn trick
+    (reference UpFirDn2dBackward, op/upfirdn2d.py:17-82): for up=down=1,
+    grad_x = blur(g, flip(k), pad=(taps-1-pad0, taps-1-pad1)), which this
+    routes through the same fused kernel."""
+    return pallas_blur(x, kernel1d, pad, interpret)
+
+
+def _blur_fwd(x, kernel1d, pad, interpret=False):
+    return pallas_blur(x, kernel1d, pad, interpret), kernel1d
+
+
+def _blur_bwd(pad, interpret, kernel1d, g):
+    taps = kernel1d.shape[0]
+    gpad = (taps - 1 - pad[0], taps - 1 - pad[1])
+    gx = pallas_blur(g, jnp.flip(kernel1d, 0), gpad, interpret)
+    return gx, jnp.zeros_like(kernel1d)
+
+
+pallas_blur_diff.defvjp(_blur_fwd, _blur_bwd)

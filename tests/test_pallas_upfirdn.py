@@ -34,3 +34,27 @@ def test_pallas_blur_3tap():
     got = pallas_blur(x, k3, pad=(1, 1), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("pad", [(2, 1), (1, 1), (2, 2)])
+def test_pallas_blur_diff_vjp_matches_xla(pad):
+    """The custom x-VJP (transposed-pad trick) equals autodiff through the
+    XLA upfirdn2d path - this is what attack gradients flow through when
+    the Pallas blur is wired into the StyleGAN2 generators."""
+    import jax
+    from gen_adversarial_tpu.ops.pallas_upfirdn import pallas_blur_diff
+
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 16, 16, 8).astype(np.float32))
+
+    def loss_pallas(x):
+        out = pallas_blur_diff(x, K4, pad, True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(x):
+        out = upfirdn2d(x, K4, up=1, down=1, pad=pad)
+        return jnp.sum(jnp.sin(out))
+
+    gp = jax.grad(loss_pallas)(x)
+    gx = jax.grad(loss_xla)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                               rtol=1e-5, atol=1e-6)
