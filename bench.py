@@ -35,10 +35,14 @@ import jax
 import jax.numpy as jnp
 
 # Anchor for vs_baseline: estimated A100 img/s for the reference torch
-# pipeline (EoT-32 NVAE purify+classify, flagship ids scale, batch-1
-# harness).  Derivation in BASELINE.md: measured torch-CPU throughput on
-# this host x (A100 f32-conv throughput / host-CPU throughput) FLOPs ratio.
-BASELINE_A100_IMG_S = 15.0
+# pipeline (EoT-32 NVAE purify+classify, flagship ids scale).  Derived, not
+# invented: the reference pipeline MEASURED on this host's CPU via its own
+# checkpoint formats (tools/bench_reference_torch.py: 0.0544 img/s =
+# 29.9 GFLOPS effective at 549 GFLOP/image, XLA cost analysis) scaled by an
+# A100/CPU-core achieved-throughput band of 300-700x for f32/TF32 eager
+# convs -> 16-38 img/s; midpoint 25.  Full arithmetic + provenance in
+# BASELINE.md "Measured".
+BASELINE_A100_IMG_S = 25.0
 
 MODE = os.environ.get("GAT_BENCH", "flagship_bf16")
 if os.environ.get("GAT_BENCH_DTYPE") == "float32" and MODE == "flagship_bf16":
@@ -98,15 +102,22 @@ def bench_apgd(dtype: str):
     from gen_adversarial_tpu.attacks.apgd import apgd_attack
 
     defense = _flagship()
+    # remat: the attack backward holds EoT-32 x batch purifier activations
+    # otherwise (OOMs on a 16G chip); this is also how the factory
+    # configures memory-bound attack evals (eval/factory.py remat)
+    defense = defense.replace(remat=True)
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
 
-    BATCH, N_ITER = 16, 16
+    # batch 8 + EoT chunk 8: one APGD iteration's backward holds a
+    # 64-sample purifier slice (remat'd); unchunked EoT-32 x batch-16 needs
+    # 27G on a 16G chip
+    BATCH, N_ITER = 8, 16
 
     @jax.jit
     def step(defense, x, y, key):
-        net = eot_wrap(defense, eot_steps=EOT)
+        net = eot_wrap(defense, eot_steps=EOT, chunk=8)
         succ, bound, adv = apgd_attack(key, net, x, y, n_iter=N_ITER,
                                        rho=0.75, max_bound=4.0, ce_loss=True)
         return jnp.sum(bound) + jnp.sum(adv)
@@ -180,17 +191,19 @@ def bench_task(task: str, dtype: str):
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
-    batch = 2 if task == "gender" else 8
-    chunk = 8 if task == "gender" else None
+    # high-res decodes: chunk the EoT vmap so peak activations stay on-chip
+    # (1024^2 decodes for gender, 512^2 for cars)
+    batch = 1 if task == "gender" else 2
+    chunk = 4 if task == "gender" else 8
     size = defense.image_size
     return {
         "metric": f"eot32_{task}_defense_images_per_sec_per_chip",
         "value": round(_forward_bench(defense, batch=batch, size=size,
                                       iters=3, eot_chunk=chunk), 2),
         "unit": "img/s", "dtype": dtype,
-        "config": ("gender: E4E+StyleGAN2-1024 + resnet50/2, batch 2, eot-chunk 8"
+        "config": ("gender: E4E+StyleGAN2-1024 + resnet50/2, batch 1, eot-chunk 4"
                    if task == "gender"
-                   else "cars: StyleTransformer-512 + resnext50/4, batch 8"),
+                   else "cars: StyleTransformer-512 + resnext50/4, batch 2, eot-chunk 8"),
     }
 
 

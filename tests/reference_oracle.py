@@ -132,6 +132,53 @@ def _stub_stylegan_ops():
         sys.modules[base] = mod
 
 
+def _stub_torchvision():
+    """torchvision is not installed; the reference's classifier module
+    imports its model factories at import time (classifier/model.py:4).
+    Provide structural replicas (tests/torch_refs.py) so reference modules
+    that merely transit that import (e.g. defenses/loading_utils.py) load."""
+    if "torchvision" in sys.modules:
+        return
+    from tests.torch_refs import TVResNet, TVVgg
+
+    VGG11_PLAN = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
+
+    def resnet50(**kw):
+        return TVResNet((3, 4, 6, 3), n_classes=1000)
+
+    def vgg11_bn(**kw):
+        return TVVgg(VGG11_PLAN, n_classes=1000)
+
+    def resnext50_32x4d(**kw):
+        return TVResNet((3, 4, 6, 3), n_classes=1000, groups=32, base_width=4)
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    models.resnet50 = resnet50
+    models.vgg11_bn = vgg11_bn
+    models.resnext50_32x4d = resnext50_32x4d
+
+    class _Weights:
+        DEFAULT = None
+
+    models.ResNet50_Weights = _Weights
+    models.VGG11_BN_Weights = _Weights
+    models.ResNeXt50_32X4D_Weights = _Weights
+    # the reference imports the Weights enums from the submodules
+    # (classifier/model.py:5-7)
+    resnet_mod = types.ModuleType("torchvision.models.resnet")
+    resnet_mod.ResNet50_Weights = _Weights
+    resnet_mod.ResNeXt50_32X4D_Weights = _Weights
+    vgg_mod = types.ModuleType("torchvision.models.vgg")
+    vgg_mod.VGG11_BN_Weights = _Weights
+    models.resnet, models.vgg = resnet_mod, vgg_mod
+    tv.models = models
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models.resnet"] = resnet_mod
+    sys.modules["torchvision.models.vgg"] = vgg_mod
+
+
 def _alias_hl_autoencoders():
     """StyleGan_Trans imports from the stale 'src.hl_autoencoders' path
     (style_transformer.py:5-6); alias it onto the real directory."""
@@ -162,5 +209,6 @@ def load_reference():
         sys.path.insert(0, str(REFERENCE))
     _stub_kornia()
     _stub_stylegan_ops()
+    _stub_torchvision()
     _alias_hl_autoencoders()
     return REFERENCE

@@ -48,12 +48,14 @@ EOT = 32
 N_CLASSES = 100
 
 
+VGG11_PLAN = (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M")
+
+
 def fabricate_checkpoints(tmp: Path):
     import torch
     from tests.reference_oracle import load_reference
     load_reference()
     from src.mlvgms_autoencoders.NVAE.model import AutoEncoder
-    from src.classifier.model import Vgg
 
     torch.manual_seed(0)
     nvae = AutoEncoder(AE_ARGS, resolution=RESOLUTION)
@@ -62,27 +64,41 @@ def fabricate_checkpoints(tmp: Path):
                                   "resolution": RESOLUTION},
                 "state_dict_temp=0.6": nvae.state_dict()}, nvae_path)
     n_params = sum(p.numel() for p in nvae.parameters())
-
-    clf = Vgg(n_classes=N_CLASSES, get_weights=False)
-    clf_path = tmp / "vgg11_flagship.pt"
-    torch.save({"state_dict": clf.state_dict()}, clf_path)
-    return nvae_path, clf_path, n_params
+    return nvae_path, n_params
 
 
-def bench_torch(nvae_path: Path, clf_path: Path, batch: int, iters: int,
+def bench_torch(nvae_path: Path, batch: int, iters: int,
                 threads: int | None):
     import torch
     if threads:
         torch.set_num_threads(threads)
     from tests.reference_oracle import load_reference
     load_reference()
-    from src.defenses.ours.models import CelebaIdentityClassifier, NVAEDefenseModel
+    # the reference's abstract_models.py:162 annotates with Union without
+    # importing it (a def-time NameError upstream, SURVEY.md 7); seed it so
+    # the module can import at all
+    import builtins
+    import typing
+    builtins.Union = typing.Union
+    from src.defenses.ours.abstract_models import BaseClassificationModel
+    from src.defenses.ours.models import NVAEDefenseModel
     from src.defenses.wrappers import EoTWrapper
+    from tests.torch_refs import TVVgg, WrappedClassifier
+
+    class IdsClassifier(BaseClassificationModel, torch.nn.Module):
+        """CelebaIdentityClassifier equivalent (ours/models.py:59-77) with
+        the vgg11_bn backbone built locally - torchvision is not installed
+        in this environment, so the reference's own Vgg class cannot
+        import; TVVgg is the test suite's structural replica of it."""
+
+        def load_classifier(self, model_path, device):
+            torch.manual_seed(1)
+            return WrappedClassifier(TVVgg(VGG11_PLAN, N_CLASSES)).eval()
 
     # same alpha schedule as our flagship bench (linear ids x 0.7)
     alphas = tuple(
         (0.04 + (1.0 - 0.04) * i / 23) for i in range(24))
-    classifier = CelebaIdentityClassifier(str(clf_path), "cpu")
+    classifier = IdsClassifier("", "cpu", (0.5,) * 3, (0.5,) * 3)
     defense = NVAEDefenseModel(classifier, str(nvae_path), alphas,
                                alpha_attenuation=0.7, initial_noise_eps=2.0,
                                apply_gaussian_blur=False, device="cpu")
@@ -145,11 +161,11 @@ def main():
 
     tmp = Path(args.tmp)
     tmp.mkdir(parents=True, exist_ok=True)
-    nvae_path, clf_path, n_params = fabricate_checkpoints(tmp)
+    nvae_path, n_params = fabricate_checkpoints(tmp)
     print(f"[fabricated] flagship NVAE ({n_params/1e6:.0f}M params) + VGG11",
           file=sys.stderr)
 
-    img_s = bench_torch(nvae_path, clf_path, args.batch, args.iters, args.threads)
+    img_s = bench_torch(nvae_path, args.batch, args.iters, args.threads)
     print(json.dumps({
         "metric": "reference_torch_cpu_eot32_nvae_defense_img_s",
         "value": round(img_s, 4), "unit": "img/s",
