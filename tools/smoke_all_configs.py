@@ -197,10 +197,17 @@ def main():
             results[name] = {"ok": False,
                              "error": f"{type(e).__name__}: {e}"}
             print(f"[FAIL] {name}: {results[name]['error']}", flush=True)
+        # checkpoint after every config: a long run killed by a timeout
+        # still leaves a valid partial report (compiles are persistently
+        # cached, so a rerun finishes the tail quickly)
+        Path(args.out).write_text(json.dumps(
+            {"backend": jax.default_backend(), "partial": True,
+             "ok": sum(1 for r in results.values() if r["ok"]),
+             "total": len(results), "configs": results}, indent=2))
 
     n_ok = sum(1 for r in results.values() if r["ok"])
-    summary = {"backend": jax.default_backend(), "ok": n_ok,
-               "total": len(results), "configs": results}
+    summary = {"backend": jax.default_backend(), "partial": False,
+               "ok": n_ok, "total": len(results), "configs": results}
     Path(args.out).write_text(json.dumps(summary, indent=2))
     print(f"[done] {n_ok}/{len(results)} configs ok -> {args.out}")
     sys.exit(0 if n_ok == len(results) else 1)
