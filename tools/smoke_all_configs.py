@@ -151,11 +151,26 @@ def main():
             fabricate_classifier(clf, exp)
         arts[exp] = d
 
+    # resume: keep prior ok results from an interrupted run (the report is
+    # checkpointed per config); re-attempt failures
     results = {}
-    configs = sorted((REPO / "configs").glob("*.yaml"))
+    out_path = Path(args.out)
+    if out_path.exists():
+        try:
+            prior = json.loads(out_path.read_text()).get("configs", {})
+            results = {k: v for k, v in prior.items() if v.get("ok")}
+        except Exception:
+            pass
+
+    # heaviest first: the 27 ours_* configs carry the most coverage (the
+    # paper's defense across all three MLVGM families)
+    configs = sorted((REPO / "configs").glob("*.yaml"),
+                     key=lambda p: (not p.stem.startswith("ours"), p.stem))
     for cfg_path in configs:
         name = cfg_path.stem
         if args.only and args.only not in name:
+            continue
+        if name in results:
             continue
         exp = experiment_of(str(cfg_path))
         d = arts[exp]
@@ -182,10 +197,14 @@ def main():
             tmp_cfg.write_text(yaml.safe_dump(raw))
 
             t0 = time.time()
-            loaded = load_defense(str(tmp_cfg), eot_steps=2)
+            # gender runs the 1024px generator: batch 1 + serialized EoT
+            # keeps the deepfool class-jacobian recompute inside 16G HBM
+            batch = 1 if exp == "gender" else 2
+            loaded = load_defense(str(tmp_cfg), eot_steps=2,
+                                  eot_chunk=1 if exp == "gender" else None)
             res = run_benchmark(
                 loaded, str(d / "data"), str(work / "results" / name),
-                batch_size=2, max_images=2, attack_filter="deepfool",
+                batch_size=batch, max_images=2, attack_filter="deepfool",
                 plots=False, log_fn=lambda *a: None)
             rj = work / "results" / name / "results.json"
             assert rj.exists() and "DeepFool" in json.loads(rj.read_text())
