@@ -173,10 +173,16 @@ def _stub_torchvision():
     vgg_mod.VGG11_BN_Weights = _Weights
     models.resnet, models.vgg = resnet_mod, vgg_mod
     tv.models = models
+    # nd_vae's NVAE.py does `from torchvision import datasets, transforms`
+    # at module top but only uses them in commented-out legacy code
+    tv.datasets = types.ModuleType("torchvision.datasets")
+    tv.transforms = types.ModuleType("torchvision.transforms")
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.resnet"] = resnet_mod
     sys.modules["torchvision.models.vgg"] = vgg_mod
+    sys.modules["torchvision.datasets"] = tv.datasets
+    sys.modules["torchvision.transforms"] = tv.transforms
 
 
 def _alias_hl_autoencoders():
