@@ -10,6 +10,9 @@ Notes vs the reference:
   the kernel at call time.
 """
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -20,6 +23,39 @@ from gen_adversarial_tpu.ops.image import resize_bilinear
 def _bn(train: bool, name: str) -> nn.BatchNorm:
     return nn.BatchNorm(use_running_average=not train, momentum=0.95,
                         epsilon=1e-5, name=name)
+
+
+class _DepthwiseTaps(nn.Module):
+    """Parameter-compatible stand-in for the decoder's depthwise nn.Conv:
+    holds the identical 'kernel' param (shape (5,5,1,C), lecun-normal init,
+    no bias) and returns it, so the cell can route the computation through
+    a fused formulation without changing the variable tree (checkpoint
+    conversion and all parity tests are unaffected)."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (5, 5, 1, self.features))
+
+
+def _dw_mode(train: bool, hidden: int) -> str:
+    """How to compute the decoder cell's BN-SiLU-DW5x5-BN-SiLU segment.
+
+    conv:     lax depthwise conv between separate BN/SiLU fusions (XLA's
+              convolution HLO is a fusion barrier: 3 HBM round trips).
+    shiftsum: depthwise as 25 shifted multiplies - a pure elementwise graph
+              XLA fuses with the surrounding eval-BN affines + SiLU into
+              one pass.
+    pallas:   ops/pallas_depthwise.py fused kernel (one read, one write).
+
+    Fused modes need eval-mode BN (affine); training keeps conv."""
+    mode = os.environ.get("GAT_NVAE_DW", "conv")
+    if train or mode == "conv":
+        return "conv"
+    if mode == "pallas" and hidden % 128 != 0:
+        return "shiftsum"
+    return mode
 
 
 class SE(nn.Module):
@@ -98,12 +134,34 @@ class ResidualCellDecoder(nn.Module):
             r = jnp.repeat(jnp.repeat(r, 2, axis=1), 2, axis=2)  # nearest x2
         r = _bn(train, "bn0")(r)
         r = nn.Conv(hidden, (1, 1), use_bias=False, name="conv_expand")(r)
-        r = _bn(train, "bn1")(r)
-        r = nn.silu(r)
-        r = nn.Conv(hidden, (5, 5), padding=2, feature_group_count=hidden,
-                    use_bias=False, name="conv_depthwise")(r)
-        r = _bn(train, "bn2")(r)
-        r = nn.silu(r)
+        bn1, bn2 = _bn(train, "bn1"), _bn(train, "bn2")
+        wk = _DepthwiseTaps(hidden, name="conv_depthwise")()
+        mode = _dw_mode(train, hidden)
+        if mode == "conv":
+            r = nn.silu(bn1(r))
+            r = jax.lax.conv_general_dilated(
+                r, wk, (1, 1), ((2, 2), (2, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=hidden)
+            r = nn.silu(bn2(r))
+        else:
+            # eval BN is affine: probe each BN at 0 and 1 to extract
+            # (scale, bias) without touching its variable layout, then run
+            # the whole segment as one fused pass
+            from gen_adversarial_tpu.ops.pallas_depthwise import (
+                depthwise_silu_segment, reference_segment)
+            z = jnp.zeros((1, 1, 1, hidden), r.dtype)
+            b1 = bn1(z).ravel()
+            s1 = bn1(jnp.ones_like(z)).ravel() - b1
+            b2 = bn2(z).ravel()
+            s2 = bn2(jnp.ones_like(z)).ravel() - b2
+            taps = wk.reshape(5, 5, hidden)
+            if mode == "pallas":
+                r = depthwise_silu_segment(
+                    r, taps, s1, b1, s2, b2,
+                    jax.default_backend() != "tpu")
+            else:
+                r = reference_segment(r, taps, s1, b1, s2, b2)
         r = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv_project")(r)
         r = _bn(train, "bn3")(r)
         if self.use_se:
