@@ -85,11 +85,15 @@ def bench_flagship(dtype: str):
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
+    # batch 96: the measured throughput peak (tools/tune_bench.py sweep:
+    # 16->37.8, 32->40.9, 64->53.7, 96->60.4, 128->58.8 img/s bf16) - the
+    # larger dispatch amortizes the ~100ms/step host-tunnel gap the
+    # profiler shows between device launches
     return {
         "metric": "eot32_nvae_defense_images_per_sec_per_chip",
-        "value": round(_forward_bench(defense, batch=16, size=64), 2),
+        "value": round(_forward_bench(defense, batch=96, size=64), 2),
         "unit": "img/s", "dtype": dtype,
-        "config": "ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, batch 16",
+        "config": "ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, batch 96",
     }
 
 
@@ -110,10 +114,11 @@ def bench_apgd(dtype: str):
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
 
-    # batch 8 + EoT chunk 8: one APGD iteration's backward holds a
-    # 64-sample purifier slice (remat'd); unchunked EoT-32 x batch-16 needs
-    # 27G on a 16G chip
-    BATCH, N_ITER = 8, 16
+    # batch 16 + EoT chunk 8: one APGD iteration's backward holds a
+    # 128-sample remat'd purifier slice; measured sweep: batch 8 -> 12.06,
+    # batch 16 -> 14.90 img*iter/s (unchunked EoT-32 x batch-16 needs 27G
+    # on a 16G chip; chunking bounds it)
+    BATCH, N_ITER = 16, 16
 
     @jax.jit
     def step(defense, x, y, key):
@@ -192,18 +197,26 @@ def bench_task(task: str, dtype: str):
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
     # high-res decodes: chunk the EoT vmap so peak activations stay on-chip
-    # (1024^2 decodes for gender, 512^2 for cars)
-    batch = 1 if task == "gender" else 2
-    chunk = 4 if task == "gender" else 8
+    # (1024^2 decodes for gender, 512^2 for cars).  Batch per (task, dtype)
+    # is the measured peak from tools/tune_bench.py sweeps; bf16 halves
+    # activation memory so it sustains larger batches before OOM (cars f32
+    # fails at batch 8, bf16 peaks at 16 -> 13.09 img/s).
+    # gender batch 1 chunk 8: sweep gave bf16 {b1c4: 1.35, b1c8: 3.60,
+    # b2c8: 3.23, b4c4: 3.13} - the 8-wide chunk fills the chip; larger
+    # batches only add memory pressure at 1024^2.
+    if task == "gender":
+        batch, chunk = 1, 8
+    else:
+        batch, chunk = (16 if dtype == "bfloat16" else 4), 8
     size = defense.image_size
     return {
         "metric": f"eot32_{task}_defense_images_per_sec_per_chip",
         "value": round(_forward_bench(defense, batch=batch, size=size,
                                       iters=3, eot_chunk=chunk), 2),
         "unit": "img/s", "dtype": dtype,
-        "config": ("gender: E4E+StyleGAN2-1024 + resnet50/2, batch 1, eot-chunk 4"
+        "config": (f"gender: E4E+StyleGAN2-1024 + resnet50/2, batch {batch}, eot-chunk {chunk}"
                    if task == "gender"
-                   else "cars: StyleTransformer-512 + resnext50/4, batch 2, eot-chunk 8"),
+                   else f"cars: StyleTransformer-512 + resnext50/4, batch {batch}, eot-chunk {chunk}"),
     }
 
 

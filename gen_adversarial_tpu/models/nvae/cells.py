@@ -25,6 +25,40 @@ def _bn(train: bool, name: str) -> nn.BatchNorm:
                         epsilon=1e-5, name=name)
 
 
+class Conv1x1(nn.Module):
+    """nn.Conv(features, (1,1))-compatible 1x1 conv with an optional
+    explicit-einsum formulation (GAT_NVAE_PW=matmul; default conv HLO).
+
+    Measured verdict (v5e-1): ISOLATED, the conv HLO is ~9x slower than
+    the matmul at the flagship project C->C/6 shapes (48-61ms vs
+    5.5-7.5ms, tools/microbench_ops.py) - but in the FULL jitted defense
+    XLA already handles the 1x1s (EoT-32 flagship bf16: conv 53.7/60.4
+    img/s at batch 64/96 vs matmul 49.7/OOM), so conv stays the default
+    and the microbench number is a fusion-context artifact.  Identical
+    variable tree (kernel (1,1,in,out) lecun-normal + zeros bias) either
+    way; modes parity-tested (tests/test_pallas_depthwise.py)."""
+    features: int
+    use_bias: bool = True
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, in_ch, self.features))
+        if self.stride > 1:
+            x = x[:, ::self.stride, ::self.stride, :]
+        if os.environ.get("GAT_NVAE_PW", "conv") == "matmul":
+            y = jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0])
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), ((0, 0), (0, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+        return y
+
+
 class _DepthwiseTaps(nn.Module):
     """Parameter-compatible stand-in for the decoder's depthwise nn.Conv:
     holds the identical 'kernel' param (shape (5,5,1,C), lecun-normal init,
@@ -78,8 +112,7 @@ class SkipDown(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.silu(x)
-        return nn.Conv(self.out_channels, (1, 1),
-                       strides=(self.stride, self.stride), name="conv")(x)
+        return Conv1x1(self.out_channels, stride=self.stride, name="conv")(x)
 
 
 class SkipUp(nn.Module):
@@ -90,7 +123,7 @@ class SkipUp(nn.Module):
         b, h, w, c = x.shape
         # torch F.interpolate(scale_factor=2, bilinear, align_corners=True)
         x = resize_bilinear(x, h * 2, w * 2, align_corners=True)
-        return nn.Conv(self.out_channels, (1, 1), name="conv")(x)
+        return Conv1x1(self.out_channels, name="conv")(x)
 
 
 class ResidualCellEncoder(nn.Module):
@@ -133,7 +166,7 @@ class ResidualCellDecoder(nn.Module):
             b, h, w, c = r.shape
             r = jnp.repeat(jnp.repeat(r, 2, axis=1), 2, axis=2)  # nearest x2
         r = _bn(train, "bn0")(r)
-        r = nn.Conv(hidden, (1, 1), use_bias=False, name="conv_expand")(r)
+        r = Conv1x1(hidden, use_bias=False, name="conv_expand")(r)
         bn1, bn2 = _bn(train, "bn1"), _bn(train, "bn2")
         wk = _DepthwiseTaps(hidden, name="conv_depthwise")()
         mode = _dw_mode(train, hidden)
@@ -162,7 +195,7 @@ class ResidualCellDecoder(nn.Module):
                     jax.default_backend() != "tpu")
             else:
                 r = reference_segment(r, taps, s1, b1, s2, b2)
-        r = nn.Conv(self.out_channels, (1, 1), use_bias=False, name="conv_project")(r)
+        r = Conv1x1(self.out_channels, use_bias=False, name="conv_project")(r)
         r = _bn(train, "bn3")(r)
         if self.use_se:
             r = SE(self.out_channels, name="se")(r)
@@ -176,7 +209,7 @@ class EncCombinerCell(nn.Module):
 
     @nn.compact
     def __call__(self, x_enc, x_dec):
-        return x_enc + nn.Conv(self.out_channels, (1, 1), name="conv")(x_dec)
+        return x_enc + Conv1x1(self.out_channels, name="conv")(x_dec)
 
 
 class DecCombinerCell(nn.Module):
@@ -185,7 +218,7 @@ class DecCombinerCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, z):
-        return nn.Conv(self.out_channels, (1, 1), name="conv")(
+        return Conv1x1(self.out_channels, name="conv")(
             jnp.concatenate([x, z], axis=-1))
 
 

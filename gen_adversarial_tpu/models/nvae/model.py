@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from gen_adversarial_tpu.models.nvae.cells import (
     ResidualCellEncoder, ResidualCellDecoder, EncCombinerCell, DecCombinerCell,
-    NFBlock)
+    NFBlock, Conv1x1)
 from gen_adversarial_tpu.models.nvae.distributions import Normal, DiscMixLogistic
 
 
@@ -133,7 +133,7 @@ class NVAE(nn.Module):
                     ch * 2, downsampling=True, use_se=cfg.use_se)
         self.enc_cells = enc
         self.enc_combiners = enc_comb
-        self.encoder_0_conv = nn.Conv(base * top_mult, (1, 1), name="encoder_0_conv")
+        self.encoder_0_conv = Conv1x1(base * top_mult, name="encoder_0_conv")
 
         # ---- samplers (+ NF)
         enc_sampler, dec_sampler, nf = {}, {}, {}
@@ -146,8 +146,8 @@ class NVAE(nn.Module):
                     nf[f"{s}_{g}"] = [NFBlock(cfg.num_latent_per_group)
                                       for _ in range(cfg.num_nf_cells)]
                 if not (s == 0 and g == 0):
-                    dec_sampler[f"{s}_{g}"] = nn.Conv(
-                        2 * cfg.num_latent_per_group, (1, 1))
+                    dec_sampler[f"{s}_{g}"] = Conv1x1(
+                        2 * cfg.num_latent_per_group)
         self.enc_sampler = enc_sampler
         self.dec_sampler = dec_sampler
         self.nf_cells = nf

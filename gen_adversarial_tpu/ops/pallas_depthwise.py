@@ -40,18 +40,32 @@ def _silu(x):
 
 
 def _kernel(x_ref, w_ref, s0_ref, b0_ref, s1_ref, b1_ref, out_ref):
-    # x_ref: (bt, H, W, 128); w_ref: (5, 5, 128); affines: (1, 128)
-    x = x_ref[...]
-    xa = _silu(x * s0_ref[0] + b0_ref[0])
+    # x_ref: (bt, H, W, 128); w_ref: (5, 5, 128); affines: (1, 128).
+    # Internal math in f32: Mosaic's logistic lowering rejects bf16
+    # (vector.broadcast dtype mismatch), and f32 accumulation is better
+    # numerically anyway; in/out stay in the model dtype.
+    x = x_ref[...].astype(jnp.float32)
+    xa = _silu(x * s0_ref[0].astype(jnp.float32) + b0_ref[0].astype(jnp.float32))
     h, w = x.shape[1], x.shape[2]
-    xp = jnp.pad(xa, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)))
-    acc = xp[:, 0:h, 0:w, :] * w_ref[0, 0]
+    # pad W to a sublane-aligned width so every tap's slice after the roll
+    # is 8-aligned; the 2-col borders plus alignment tail are zeros, and
+    # rolls by <= 4 never wrap data back into the live [0, w) window
+    wp = w + 2 * PAD
+    wpad = -wp % 8
+    xp = jnp.pad(xa, ((0, 0), (PAD, PAD), (PAD, PAD + wpad), (0, 0)))
+    wk = w_ref[...].astype(jnp.float32)
+    wpx = wp + wpad
+    acc = None
     for dy in range(TAPS):
+        rows = xp[:, dy:dy + h, :, :]
         for dx in range(TAPS):
-            if dy == 0 and dx == 0:
-                continue
-            acc = acc + xp[:, dy:dy + h, dx:dx + w, :] * w_ref[dy, dx]
-    out_ref[...] = _silu(acc * s1_ref[0] + b1_ref[0])
+            # left-rotate by dx == roll right by wpx-dx (pltpu.roll wants
+            # shift >= 0); the wrapped-in columns are alignment zeros
+            shifted = pltpu.roll(rows, wpx - dx, 2) if dx else rows
+            t = shifted[:, :, 0:w, :] * wk[dy, dx]
+            acc = t if acc is None else acc + t
+    y = _silu(acc * s1_ref[0].astype(jnp.float32) + b1_ref[0].astype(jnp.float32))
+    out_ref[...] = y.astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -60,9 +74,11 @@ def _segment_call(x, wk, scale0, bias0, scale1, bias1, interpret=False):
     assert c % LANES == 0, c
     assert wk.shape == (TAPS, TAPS, c), wk.shape
 
-    # batch tile: keep the input block ~1MB (out block + padded temp +
-    # accumulator stay well inside VMEM with pipelining)
-    per_sample = h * w * LANES * x.dtype.itemsize
+    # batch tile: keep the input block ~1MB of INTERNAL (f32) footprint -
+    # the kernel upcasts to f32 regardless of the model dtype, so sizing by
+    # the input itemsize overflows the 16M scoped-vmem stack for bf16
+    # (measured: 17.57M at bt=4, (32,32,384) bf16)
+    per_sample = h * w * LANES * 4
     bt = max(1, min(b, (1 << 20) // per_sample))
     while b % bt:
         bt -= 1

@@ -93,6 +93,31 @@ def test_decoder_cell_modes_agree(monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_conv1x1_matmul_mode_agrees(monkeypatch):
+    """Conv1x1: the GAT_NVAE_PW=matmul formulation matches the conv HLO
+    (same variables, forward + input-gradient), incl. the strided case."""
+    from gen_adversarial_tpu.models.nvae.cells import Conv1x1
+
+    rng = np.random.RandomState(6)
+    for stride in (1, 2):
+        mod = Conv1x1(24, stride=stride)
+        x = jnp.asarray(rng.randn(2, 8, 8, 16), jnp.float32)
+        monkeypatch.setenv("GAT_NVAE_PW", "conv")
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        out, grad = {}, {}
+        for mode in ("conv", "matmul"):
+            monkeypatch.setenv("GAT_NVAE_PW", mode)
+            out[mode] = mod.apply(variables, x)
+            grad[mode] = jax.grad(
+                lambda x: jnp.sum(mod.apply(variables, x) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(out["matmul"]),
+                                   np.asarray(out["conv"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(grad["matmul"]),
+                                   np.asarray(grad["conv"]),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_vjp_params_match_autodiff():
     x, wk, s0, b0, s1, b1 = _inputs(seed=4)
 

@@ -72,6 +72,14 @@ def pw_conv(x, w):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
+@jax.jit
+def pw_matmul(x, w):
+    """1x1 conv as an explicit matmul (the MXU-native form)."""
+    b, h, w_, c = x.shape
+    y = x.reshape(b * h * w_, c) @ w.reshape(c, -1)
+    return y.reshape(b, h, w_, -1)
+
+
 def dw_shiftsum(x, wk):
     """Depthwise 5x5 as 25 shifted multiplies (pure elementwise graph: XLA
     can fuse it with surrounding BN/SiLU into ONE loop fusion, unlike a
@@ -114,21 +122,24 @@ def main():
                          sc0, bi0, sc1, bi1)
             t_e = timed(pw_conv, xe, we)
             t_p = timed(pw_conv, x, wp)
+            t_em = timed(pw_matmul, xe, we)
+            t_pm = timed(pw_matmul, x, wp)
 
             bytes_rt = 2 * b * h * w_ * c * jnp.dtype(dtype).itemsize
             roof_ms = bytes_rt / (HBM_GB_S * 1e9) * 1e3
             line = (f"{dname} ({b},{h},{w_},{c}): dw {t_dw*1e3:7.3f}ms "
                     f"seg {t_seg*1e3:7.3f}ms shiftsum-seg {t_ss*1e3:7.3f}ms "
-                    f"expand {t_e*1e3:7.3f}ms "
-                    f"project {t_p*1e3:7.3f}ms | 1-pass roofline {roof_ms:6.3f}ms")
+                    f"expand {t_e*1e3:7.3f}/{t_em*1e3:.3f}ms(conv/mm) "
+                    f"project {t_p*1e3:7.3f}/{t_pm*1e3:.3f}ms"
+                    f" | 1-pass roofline {roof_ms:6.3f}ms")
             try:
                 from gen_adversarial_tpu.ops.pallas_depthwise import (
                     depthwise_silu_segment)
                 t_pl = timed(jax.jit(depthwise_silu_segment),
                              x, wk.reshape(5, 5, c), sc0, bi0, sc1, bi1)
                 line += f" | pallas seg {t_pl*1e3:7.3f}ms"
-            except ImportError:
-                pass
+            except Exception as e:
+                line += f" | pallas seg FAILED {type(e).__name__}"
             print(line, flush=True)
 
 
