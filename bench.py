@@ -85,15 +85,19 @@ def bench_flagship(dtype: str):
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
-    # batch 96: the measured throughput peak (tools/tune_bench.py sweep:
-    # 16->37.8, 32->40.9, 64->53.7, 96->60.4, 128->58.8 img/s bf16) - the
-    # larger dispatch amortizes the ~100ms/step host-tunnel gap the
-    # profiler shows between device launches
+    # measured throughput peaks (tools/tune_bench.py sweeps): bf16 batch 96
+    # unchunked (16->37.8, 32->40.9, 64->53.7, 96->60.4, 128->58.8 img/s;
+    # the large dispatch amortizes the ~100ms/step host-tunnel gap) - f32
+    # doubles the activation footprint, OOMs above batch 16 unchunked, and
+    # peaks at batch 64 with the EoT vmap chunked to 8 (10.73 img/s).
+    batch, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_per_chip",
-        "value": round(_forward_bench(defense, batch=96, size=64), 2),
+        "value": round(_forward_bench(defense, batch=batch, size=64,
+                                      eot_chunk=chunk), 2),
         "unit": "img/s", "dtype": dtype,
-        "config": "ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, batch 96",
+        "config": f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
+                  f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""),
     }
 
 
@@ -114,11 +118,11 @@ def bench_apgd(dtype: str):
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
 
-    # batch 16 + EoT chunk 8: one APGD iteration's backward holds a
-    # 128-sample remat'd purifier slice; measured sweep: batch 8 -> 12.06,
-    # batch 16 -> 14.90 img*iter/s (unchunked EoT-32 x batch-16 needs 27G
-    # on a 16G chip; chunking bounds it)
-    BATCH, N_ITER = 16, 16
+    # EoT chunk 8: one APGD iteration's backward holds a remat'd purifier
+    # slice of batch x 8 samples (unchunked EoT-32 x batch-16 needs 27G on
+    # a 16G chip; chunking bounds it).  bf16 batch 16 is the measured peak
+    # (8 -> 12.06, 16 -> 14.90 img*iter/s); f32 OOMs at 16, runs at 8.
+    BATCH, N_ITER = (16 if dtype == "bfloat16" else 8), 16
 
     @jax.jit
     def step(defense, x, y, key):

@@ -63,6 +63,10 @@ def blur(x, kernel_1d, pad, upsample_factor: int = 1):
 
 def upsample_fir(x, kernel_1d, factor: int = 2):
     """Upsample module (generator.py:29-47)."""
+    if (factor == 2 and len(kernel_1d) == 4
+            and os.environ.get("GAT_SG2_UP", "dilated") == "phase"):
+        from gen_adversarial_tpu.ops.phase_upsample import phase_upsample_fir
+        return phase_upsample_fir(x, kernel_1d, factor)
     k1 = jnp.asarray(_norm1d(kernel_1d)) * factor  # (factor**2) over 2 passes
     p = len(kernel_1d) - factor
     pad0 = (p + 1) // 2 + factor - 1
@@ -172,6 +176,20 @@ class ModulatedConv2d(nn.Module):
         xs = x * style[:, None, None, :]
 
         if self.upsample:
+            if (k == 3 and os.environ.get("GAT_SG2_UP", "dilated") == "phase"
+                    and in_ch <= int(os.environ.get("GAT_SG2_UP_MAXCH", "256"))):
+                # fused phase decomposition: conv_transpose + blur as ONE
+                # dense conv at the input resolution (ops/phase_upsample.py);
+                # demod is per out-channel so it commutes with the blur.
+                # Channel gate: at the deep low-res / 512-ch layers the
+                # (6,6,in,out) combined-kernel build outweighs the tiny conv
+                from gen_adversarial_tpu.ops.phase_upsample import (
+                    fused_upsample_kernel, phase_upsample)
+                pk = fused_upsample_kernel(weight * scale, self.blur_kernel)
+                y = phase_upsample(xs, pk)
+                if self.demodulate:
+                    y = y * demod[:, None, None, :]
+                return y
             # conv_transpose(stride 2, pad 0) == dilated conv with flipped kernel
             wt = jnp.flip(weight, (0, 1)) * scale
             y = lax.conv_general_dilated(
