@@ -112,17 +112,24 @@ def bench_apgd(dtype: str):
     defense = _flagship()
     # remat: the attack backward holds EoT-32 x batch purifier activations
     # otherwise (OOMs on a 16G chip); this is also how the factory
-    # configures memory-bound attack evals (eval/factory.py remat)
-    defense = defense.replace(remat=True)
+    # configures memory-bound attack evals (eval/factory.py remat).
+    # bf16 additionally keeps non-batch-dim dot outputs (weights-side
+    # matmul results) instead of recomputing everything: measured +10% on
+    # this step (tools/tune_remat.py sweep: full-remat peak b16 = 14.9,
+    # dots_with_no_batch_dims_saveable peak b8 = 16.39 img*iter/s; the
+    # policy fails remote-compile under f32, which stays full remat).
+    policy = ("dots_with_no_batch_dims_saveable"
+              if dtype == "bfloat16" else None)
+    defense = defense.replace(remat=True, remat_policy=policy)
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
 
     # EoT chunk 8: one APGD iteration's backward holds a remat'd purifier
     # slice of batch x 8 samples (unchunked EoT-32 x batch-16 needs 27G on
-    # a 16G chip; chunking bounds it).  bf16 batch 16 is the measured peak
-    # (8 -> 12.06, 16 -> 14.90 img*iter/s); f32 OOMs at 16, runs at 8.
-    BATCH, N_ITER = (16 if dtype == "bfloat16" else 8), 16
+    # a 16G chip; chunking bounds it).  Batches are the swept peaks per
+    # (dtype, policy); f32 OOMs at 16.
+    BATCH, N_ITER = 8, 16
 
     @jax.jit
     def step(defense, x, y, key):
@@ -151,6 +158,118 @@ def bench_apgd(dtype: str):
         "value": round(BATCH * N_ITER / dt, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
+    }
+
+
+def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3):
+    """Shared driver for per-attack-iteration benches: compiles `step =
+    make_step()`, feeds flagship-shaped inputs, returns img*iter/s."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, 64, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 100, batch))
+    step = make_step()
+    float(step(x, y, jax.random.PRNGKey(0)))  # compile + force
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    outs = []
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        outs.append(step(x, y, sub))
+    total = float(jnp.sum(jnp.stack(outs)))
+    dt = (time.perf_counter() - t0) / iters
+    assert np.isfinite(total)
+    return batch * n_iter / dt
+
+
+def _flagship_attack_defense(dtype: str):
+    from __graft_entry__ import _flagship
+    defense = _flagship().replace(remat=True)
+    if dtype == "bfloat16":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense)
+    return defense
+
+
+def bench_cw(dtype: str):
+    """C&W per-optimizer-step throughput through the EoT-32 flagship defense
+    (1 restart x 16 Adam steps; the production budget is 8 restarts x 1024
+    steps of exactly this step - load_defense.py:48-52)."""
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    from gen_adversarial_tpu.attacks.cw import cw_attack
+
+    defense = _flagship_attack_defense(dtype)
+    BATCH, N_ITER = (16 if dtype == "bfloat16" else 8), 16
+
+    def make_step():
+        @jax.jit
+        def step(x, y, key):
+            net = eot_wrap(defense, eot_steps=EOT, chunk=8)
+            succ, bound, adv = cw_attack(key, net, x, y, steps=N_ITER,
+                                         n_restarts=1)
+            return jnp.sum(bound) + jnp.sum(adv)
+        return step
+
+    return {
+        "metric": "cw16_eot32_nvae_defense_image_iters_per_sec_per_chip",
+        "value": round(_attack_step_bench(make_step, BATCH, N_ITER), 2),
+        "unit": "img*iter/s", "dtype": dtype,
+        "config": f"C&W 1x{N_ITER} Adam steps, EoT-32, ids flagship, batch {BATCH}",
+    }
+
+
+def bench_deepfool(dtype: str):
+    """DeepFool per-iteration throughput through the EoT-32 flagship defense
+    (top-10 class jacobian per iteration - the heaviest per-iter attack;
+    production budget <=128 iters, load_defense.py:48).
+
+    DeepFool's while_loop trip count is data-dependent, so this bench
+    labels each input with its own clean prediction (everything starts
+    active) and divides by the REALIZED iteration count
+    (deepfool_attack(..., return_iters=True)), not the max_iter budget."""
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    from gen_adversarial_tpu.attacks.deepfool import deepfool_attack
+
+    defense = _flagship_attack_defense(dtype)
+    # the 10-class jacobian multiplies the backward's cotangent count ~10x
+    # vs APGD's scalar loss; batch stays small
+    BATCH, MAX_ITER = (4 if dtype == "bfloat16" else 2), 8
+    net = eot_wrap(defense, eot_steps=EOT, chunk=8)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32)
+    y = jnp.argmax(jax.jit(net)(jax.random.PRNGKey(42), x), axis=1)
+
+    @jax.jit
+    def step(x, y, key):
+        succ, bound, adv, iters = deepfool_attack(
+            key, net, x, y, num_classes=10, max_iter=MAX_ITER,
+            return_iters=True)
+        return jnp.sum(jnp.where(jnp.isfinite(bound), bound, 0.0)) \
+            + jnp.sum(adv), iters
+
+    s, it = step(x, y, jax.random.PRNGKey(0))
+    float(s), int(it)  # compile + force
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    outs, total_iters = [], 0
+    ITERS = 3
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        s, it = step(x, y, sub)
+        outs.append(s)
+        total_iters += int(it)
+    total = float(jnp.sum(jnp.stack(outs)))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(total) and total_iters > 0
+    return {
+        "metric": "deepfool_eot32_nvae_defense_image_iters_per_sec_per_chip",
+        "value": round(BATCH * total_iters / dt, 2),
+        "unit": "img*iter/s", "dtype": dtype,
+        "config": f"DeepFool top-10 jacobian, EoT-32, ids flagship, "
+                  f"batch {BATCH}, {total_iters} realized iters over "
+                  f"{ITERS} runs (budget {MAX_ITER})",
     }
 
 
@@ -229,6 +348,8 @@ BENCHES = {
     "flagship_f32": lambda: bench_flagship("float32"),
     "apgd_bf16": lambda: bench_apgd("bfloat16"),
     "apgd_f32": lambda: bench_apgd("float32"),
+    "cw_bf16": lambda: bench_cw("bfloat16"),
+    "deepfool_bf16": lambda: bench_deepfool("bfloat16"),
     "gender_f32": lambda: bench_task("gender", "float32"),
     "gender_bf16": lambda: bench_task("gender", "bfloat16"),
     "cars_f32": lambda: bench_task("cars", "float32"),

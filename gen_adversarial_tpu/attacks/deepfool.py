@@ -30,7 +30,7 @@ def _class_grads(net, key, x, class_idx):
 
 def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                     num_classes: int = 10, overshoot: float = 0.02,
-                    max_iter: int = 50):
+                    max_iter: int = 50, return_iters: bool = False):
     b = images.shape[0]
     bdims = (-1,) + (1,) * (images.ndim - 1)
     k0, kloop = jax.random.split(key)
@@ -89,4 +89,6 @@ def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarra
     success = jnp.where(already_wrong, True, success)
     bound = jnp.where(already_wrong, 0.0, bound)
     adv = jnp.where(already_wrong.reshape(bdims), images, adv)
+    if return_iters:  # realized while_loop trip count (bench/diagnostics)
+        return success, bound, adv, out["i"]
     return success, bound, adv

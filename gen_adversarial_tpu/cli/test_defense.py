@@ -29,6 +29,11 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="bfloat16 runs purifier+classifier in bf16 (weights "
                         "cast once, f32 logits contract; ~1.5-1.8x on TPU)")
+    p.add_argument("--remat-policy", default=None,
+                   help="jax.checkpoint_policies name for the purifier remat "
+                        "(e.g. dots_with_no_batch_dims_saveable: +10%% on the "
+                        "APGD step at small batch, tools/tune_remat.py); "
+                        "default saves nothing")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-plots", action="store_true")
     p.add_argument("--n-devices", type=int, default=None,
@@ -49,7 +54,8 @@ def main():
     from gen_adversarial_tpu.eval.harness import run_benchmark
 
     loaded = load_defense(args.config, eot_steps=args.eot_steps,
-                          eot_chunk=args.eot_chunk, dtype=args.dtype)
+                          eot_chunk=args.eot_chunk, dtype=args.dtype,
+                          remat_policy=args.remat_policy)
     run_benchmark(loaded, args.images_path, args.results_folder,
                   batch_size=args.batch_size, seed=args.seed,
                   attack_filter=args.attack, max_images=args.max_images,

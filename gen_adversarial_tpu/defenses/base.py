@@ -77,6 +77,11 @@ class MLVGMDefense:
     # cotangents (DeepFool/FAB class-jacobians x EoT x batch) OOM on HBM at
     # high resolution without this; costs ~2x purify FLOPs on those paths
     remat: bool = struct.field(pytree_node=False, default=False)
+    # name of a jax.checkpoint_policies entry to apply with remat (e.g.
+    # "dots_saveable" keeps matmul outputs and only recomputes the
+    # bandwidth-bound elementwise chain); None = save nothing (full remat).
+    # Measured on the APGD step (tools/tune_remat.py) before changing.
+    remat_policy: Any = struct.field(pytree_node=False, default=None)
     # run purifier + classifier in this dtype (bf16 fast path on TPU): the
     # image is cast on entry and logits/purified outputs are cast back to
     # float32, so attack math (grads, norms, projections) stays f32 while
@@ -101,7 +106,9 @@ class MLVGMDefense:
             x = (x - 0.5) / 0.5
         apply = self.purify_apply
         if self.remat:
-            apply = jax.checkpoint(apply)
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            apply = jax.checkpoint(apply, policy=policy)
         out = apply(self.purify_variables, self.alphas, k_purify, x)
         if self.normalize_before_purify:
             out = out * 0.5 + 0.5

@@ -77,6 +77,7 @@ def load_classifier_parts(experiment: str, path: str):
 def load_defense(config_path: str, eot_steps: int = 32,
                  eot_chunk: int | None = None,
                  remat: bool | None = None,
+                 remat_policy: str | None = None,
                  dtype: str | None = None) -> LoadedDefense:
     """Build the defense named by a YAML config file (the config family name
     encodes defense_type and experiment, e.g. ours_cosine_noise_cars.yaml).
@@ -135,7 +136,8 @@ def load_defense(config_path: str, eot_steps: int = 32,
             classifier_apply=clf_apply, image_size=image_size,
             initial_noise_eps=cfg.initial_noise_eps,
             apply_blur=cfg.gaussian_blur_input,
-            normalize_before_purify=normalize, remat=remat)
+            normalize_before_purify=normalize, remat=remat,
+            remat_policy=remat_policy)
     else:
         raise NotImplementedError(defense_type)
 

@@ -161,6 +161,14 @@ def test_deepfool_near_optimal_on_linear_net():
     pred = np.argmax(np.asarray(net(None, adv))[0])
     assert pred != y[0]
 
+    # return_iters exposes the realized while_loop trip count: identical
+    # results, and a linear net converges well inside the budget
+    s4, b4, adv4, iters = deepfool_attack(
+        jax.random.PRNGKey(0), net, jnp.asarray(x), jnp.asarray(y),
+        num_classes=N_CLASSES, overshoot=0.02, max_iter=50, return_iters=True)
+    np.testing.assert_array_equal(np.asarray(adv4), np.asarray(adv))
+    assert 1 <= int(iters) < 50
+
 
 def test_apgd_ce_and_dlr():
     net, W, bvec = make_linear_net()

@@ -105,6 +105,32 @@ def test_nvae_defense_pipeline(tiny_nvae):
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.abs(g).max()) > 0
 
 
+def test_remat_policies_exact(tiny_nvae):
+    """remat / remat_policy only change the backward's memory schedule;
+    values and gradients must agree with the unremat'd defense (up to
+    XLA fusion reassociation noise)."""
+    model, variables, cfg = tiny_nvae
+    w, apply = _linear_classifier(d=16 * 16 * 3)
+    base = MLVGMDefense(purify_variables=variables, classifier_variables=w,
+                        alphas=jnp.full((cfg.n_latents,), 0.3),
+                        purify_apply=make_nvae_purify(model),
+                        classifier_apply=apply, image_size=16,
+                        normalize_before_purify=False)
+    key = jax.random.PRNGKey(5)
+    x = jnp.asarray(np.random.RandomState(6).rand(2, 16, 16, 3).astype(np.float32))
+
+    def loss_and_grad(d):
+        f = jax.jit(lambda x_: jnp.sum(d(key, x_) ** 2))
+        return float(f(x)), np.asarray(jax.jit(jax.grad(
+            lambda x_: jnp.sum(d(key, x_) ** 2)))(x))
+
+    v0, g0 = loss_and_grad(base)
+    for policy in (None, "dots_saveable"):
+        v1, g1 = loss_and_grad(base.replace(remat=True, remat_policy=policy))
+        assert v1 == pytest.approx(v0, rel=1e-6)
+        np.testing.assert_allclose(g1, g0, rtol=1e-2, atol=1e-5)
+
+
 def test_classifier_defense():
     w, apply = _linear_classifier()
     d = ClassifierDefense(w, apply)
