@@ -82,6 +82,38 @@ def convert_generator(sd: dict, size: int) -> dict:
     return {"params": params, "noise": noise}
 
 
+def _conv_layer(sd, prefix, downsample=False, activate=True, bias=True):
+    """ConvLayer (Trans model.py:546-593) is an nn.Sequential:
+    [Blur]? -> EqualConv2d -> [FusedLeakyReLU | ScaledLeakyReLU]?; the
+    EqualConv2d sits at index 1 when the downsample Blur precedes it (the
+    Blur contributes only a fixed buffer, skipped here)."""
+    ci = 1 if downsample else 0
+    out = {"conv": _equal_conv(sd, f"{prefix}.{ci}", bias=bias and not activate)}
+    if activate and bias:
+        out["activate_bias"] = sd[f"{prefix}.{ci + 1}.bias"]
+    return out
+
+
+def convert_discriminator(sd: dict, size: int) -> dict:
+    """Discriminator state dict (Trans model.py:616-674, prefix already
+    stripped) -> {'params'} for models/stylegan2/discriminator.py."""
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    params = {"conv_in": _conv_layer(sd, "convs.0")}
+    log_size = int(math.log2(size))
+    for n, i in enumerate(range(log_size, 2, -1), start=1):
+        p = f"convs.{n}"
+        params[f"res_{i}"] = {
+            "conv1": _conv_layer(sd, f"{p}.conv1"),
+            "conv2": _conv_layer(sd, f"{p}.conv2", downsample=True),
+            "skip": _conv_layer(sd, f"{p}.skip", downsample=True,
+                                activate=False, bias=False),
+        }
+    params["final_conv"] = _conv_layer(sd, "final_conv")
+    params["final_linear0"] = _equal_linear(sd, "final_linear.0")
+    params["final_linear1"] = _equal_linear(sd, "final_linear.1")
+    return {"params": params}
+
+
 def _prelu(sd, prefix):
     return {"alpha": sd[f"{prefix}.weight"]}
 

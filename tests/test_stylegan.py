@@ -133,3 +133,27 @@ def test_discriminator_runs():
     variables = d.init(jax.random.PRNGKey(0), x)
     out = d.apply(variables, x)
     assert out.shape == (4, 1)
+
+
+def test_discriminator_converted_parity():
+    """Exact output parity of the converted Discriminator vs the reference
+    (Trans model.py:616-674) on a randomly initialized torch instance."""
+    load_reference()
+    from src.mlvgms_autoencoders.StyleGan_Trans.models.stylegan2.model import (
+        Discriminator as RefDiscriminator)
+    from gen_adversarial_tpu.core.stylegan_convert import convert_discriminator
+
+    size = 16
+    torch.manual_seed(1)
+    ref = RefDiscriminator(size)
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    variables = convert_discriminator(sd, size)
+
+    x = np.random.RandomState(2).rand(4, 3, size, size).astype(np.float32) * 2 - 1
+    with torch.no_grad():
+        want = ref(torch.tensor(x)).numpy()
+    got = Discriminator(size).apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
