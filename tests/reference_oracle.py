@@ -206,6 +206,25 @@ def _alias_hl_autoencoders():
             pass
 
 
+def load_reference_defenses():
+    """Import src.defenses.ours.models, shimming the reference's broken
+    `Union` annotation (abstract_models.py:162 uses typing.Union without
+    importing it - a documented upstream bug, SURVEY.md 7) by providing it
+    as a builtin for the duration of the import."""
+    import builtins
+    import importlib
+    import typing
+
+    load_reference()
+    had = hasattr(builtins, "Union")
+    builtins.Union = typing.Union
+    try:
+        return importlib.import_module("src.defenses.ours.models")
+    finally:
+        if not had:
+            del builtins.Union
+
+
 def load_reference():
     """Prepare sys.path + stubs; returns the reference root path.  Skips the
     calling test when the reference checkout is unavailable."""
