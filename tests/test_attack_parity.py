@@ -1,8 +1,9 @@
 """Head-to-head attack parity vs the reference implementations on an
 identical network.  DeepFool and FAB are deterministic (no RNG in the
 reference's loops), so their minimal-L2 bounds must agree closely; C&W and
-APGD use random inits and are compared behaviorally elsewhere
-(tests/test_attacks.py)."""
+APGD draw random inits, so their trajectory tests inject the SAME noise on
+both sides (making them deterministic too); distributional checks live in
+tests/test_attack_distributional.py."""
 
 import numpy as np
 import pytest
@@ -84,3 +85,108 @@ def test_fab_bound_parity(nets):
         if s_t:
             np.testing.assert_allclose(float(b_j[0]), float(b_t),
                                        rtol=1e-3, atol=1e-4)
+
+
+def test_cw_trajectory_parity(nets, monkeypatch):
+    """Exact-trajectory C&W parity with injected restart noise: the
+    reference's only randomness is one randn_like per restart
+    (untargeted.py:386-388); with identical noise both sides run the same
+    FGSM init, Adam steps, early stopping, and adaptive-c schedule."""
+    from src.attacks.untargeted import CW
+    from gen_adversarial_tpu.attacks.cw import cw_attack
+
+    torch_net, jax_net, W, b = nets
+    B, R = 3, 2
+    xs, ys = zip(*[_sample(nets, s) for s in (6, 7, 8)])
+    x = np.concatenate(xs, 0)
+    y = np.asarray(ys)
+    rng = np.random.RandomState(21)
+    noise = rng.randn(B, R, 1, 3, 4, 4).astype(np.float32)
+
+    kw = dict(c=1.0, kappa=0.0, steps=25, lr=1e-2, n_restarts=R,
+              early_stopping_steps=5)
+
+    # reference: per-image loop; randn_like pops image-major, restart-minor
+    seq = [torch.tensor(noise[i, r]) for i in range(B) for r in range(R)]
+    monkeypatch.setattr(torch, "randn_like", lambda t: seq.pop(0))
+    ref = CW(**{k: v for k, v in kw.items()})
+    res_t = [ref(torch.tensor(x[i:i + 1]), torch.tensor([y[i]]), torch_net)
+             for i in range(B)]
+    assert not seq
+
+    # ours: batched; one (B,H,W,C) normal draw per restart, restart-major
+    replay = [np.transpose(noise[:, r, 0], (0, 2, 3, 1)) for r in range(R)]
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        if replay and tuple(shape) == replay[0].shape:
+            return jnp.asarray(replay.pop(0), dtype)
+        return real_normal(key, shape, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        # disable_jit so the restart lax.scan executes eagerly (per-restart
+        # normal() calls reach fake_normal instead of tracing once)
+        with jax.disable_jit():
+            s_j, b_j, adv_j = cw_attack(
+                jax.random.PRNGKey(0), jax_net,
+                jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y), **kw)
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    assert not replay
+
+    for i, (s_t, b_t, _) in enumerate(res_t):
+        assert bool(s_j[i]) == bool(s_t), i
+        if s_t:
+            np.testing.assert_allclose(float(b_j[i]), float(b_t),
+                                       rtol=2e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("ce", [True, False], ids=["ce", "dlr"])
+def test_apgd_trajectory_parity(nets, monkeypatch, ce):
+    """Exact-trajectory APGD parity with injected init noise: the
+    reference's only randomness is one randn_like at init
+    (untargeted.py:133); with identical noise the whole trajectory -
+    momentum update, loss-oscillation step-size halving, restart-from-best
+    - is deterministic on both sides."""
+    from src.attacks.untargeted import APGDAttack
+    from gen_adversarial_tpu.attacks.apgd import apgd_attack
+
+    torch_net, jax_net, W, b = nets
+    B = 3
+    xs, ys = zip(*[_sample(nets, s) for s in (9, 10, 11)])
+    x = np.concatenate(xs, 0)
+    y = np.asarray(ys)
+    rng = np.random.RandomState(31)
+    noise = rng.randn(B, 1, 3, 4, 4).astype(np.float32)
+
+    kw = dict(n_iter=30, rho=0.75, max_bound=1.0, ce_loss=ce)
+
+    seq = [torch.tensor(noise[i]) for i in range(B)]
+    monkeypatch.setattr(torch, "randn_like", lambda t: seq.pop(0))
+    ref = APGDAttack(**kw)
+    res_t = [ref(torch.tensor(x[i:i + 1]), torch.tensor([y[i]]), torch_net)
+             for i in range(B)]
+    assert not seq
+
+    replay = [np.transpose(noise[:, 0], (0, 2, 3, 1))]
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        if replay and tuple(shape) == replay[0].shape:
+            return jnp.asarray(replay.pop(0), dtype)
+        return real_normal(key, shape, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        s_j, b_j, adv_j = apgd_attack(
+            jax.random.PRNGKey(0), jax_net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y), **kw)
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    assert not replay
+
+    for i, (s_t, b_t, _) in enumerate(res_t):
+        assert bool(s_j[i]) == bool(s_t), i
+        np.testing.assert_allclose(float(b_j[i]), float(b_t),
+                                   rtol=2e-3, atol=1e-4)
