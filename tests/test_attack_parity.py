@@ -190,3 +190,68 @@ def test_apgd_trajectory_parity(nets, monkeypatch, ce):
         assert bool(s_j[i]) == bool(s_t), i
         np.testing.assert_allclose(float(b_j[i]), float(b_t),
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_autoattack_trajectory_parity(nets, monkeypatch):
+    """Exact-trajectory AutoAttack ensemble parity: the only randomness is
+    each APGD stage's init draw; the reference side tags every sub-attack
+    call with its stage index so each image consumes exactly the noise our
+    batched stage draws use, even though the reference skips escalation
+    stages for already-successful images (untargeted.py:287-317 - our
+    batched version runs every stage and gates the merge per sample)."""
+    from src.attacks.untargeted import AutoAttack as RefAutoAttack
+    from gen_adversarial_tpu.attacks.autoattack import autoattack
+
+    torch_net, jax_net, W, b = nets
+    B, STAGES = 3, 6
+    xs, ys = zip(*[_sample(nets, s) for s in (12, 13, 14)])
+    x = np.concatenate(xs, 0)
+    y = np.asarray(ys)
+    rng = np.random.RandomState(41)
+    noise = rng.randn(STAGES, B, 1, 3, 4, 4).astype(np.float32)
+
+    ref = RefAutoAttack()
+    cur = {"stage": -1, "img": -1}
+    for i, attr in enumerate(["apgd_ce1", "apgd_ce2", "apgd_ce3",
+                              "apgd_dlr1", "apgd_dlr2", "apgd_dlr3"]):
+        orig = getattr(ref, attr)
+
+        def tagged(img, yy, net, _orig=orig, _i=i):
+            cur["stage"] = _i
+            return _orig(img, yy, net)
+
+        setattr(ref, attr, tagged)
+
+    monkeypatch.setattr(
+        torch, "randn_like",
+        lambda t: torch.tensor(noise[cur["stage"], cur["img"]]))
+
+    res_t = []
+    for i in range(B):
+        cur["img"] = i
+        res_t.append(ref(torch.tensor(x[i:i + 1]), torch.tensor([y[i]]),
+                         torch_net))
+
+    # ours: six batched APGD stage draws in the same stage order
+    replay = [np.transpose(noise[s, :, 0], (0, 2, 3, 1)) for s in range(STAGES)]
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        if replay and tuple(shape) == replay[0].shape:
+            return jnp.asarray(replay.pop(0), dtype)
+        return real_normal(key, shape, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        s_j, b_j, adv_j = autoattack(
+            jax.random.PRNGKey(0), jax_net,
+            jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(y),
+            n_classes=N_CLASSES)
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    assert not replay
+
+    for i, (s_t, b_t, _) in enumerate(res_t):
+        assert bool(s_j[i]) == bool(s_t), i
+        np.testing.assert_allclose(float(b_j[i]), float(b_t),
+                                   rtol=3e-3, atol=1e-4)
