@@ -357,9 +357,34 @@ BENCHES = {
 }
 
 
+def _device_backend_alive(timeout_s: int = 180) -> bool:
+    """Probe backend init in a CHILD with a hard timeout.  When the TPU
+    tunnel (remote-compile relay) is down, jax.devices() hangs forever in
+    make_c_api_client (observed 2026-08-17); probing in-process would hang
+    this whole benchmark with it."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if not _device_backend_alive():
+        print(json.dumps({
+            "metric": "eot32_nvae_defense_images_per_sec_per_chip",
+            "value": None, "unit": "img/s", "vs_baseline": None,
+            "error": "device backend init timed out (TPU tunnel down); "
+                     "no measurement possible on this host right now",
+        }))
+        raise SystemExit(1)
 
     if MODE == "all":
         results = {}
