@@ -246,3 +246,110 @@ def test_nvae_purify_exact(monkeypatch):
     assert not replay, f"{len(replay)} eps draws not consumed"
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=2e-3, atol=5e-4)
+
+
+def test_nvae_defense_pipeline_exact(monkeypatch):
+    """Exact full-pipeline parity for MLVGMDefenseModel.__call__
+    (abstract_models.py:161-193) on the NVAE family: gaussian blur (the
+    upstream 2^(sqrt(H)//2)-1 kernel quirk) -> L2-ball gaussian noise ->
+    purify (injected eps) -> classifier with 0.5/0.5 normalize.  Both the
+    noise draw and every purify eps draw are injected identically, so the
+    returned logits must match."""
+    from types import MethodType
+    load_reference()
+    from src.mlvgms_autoencoders.NVAE.model import AutoEncoder
+    import src.mlvgms_autoencoders.NVAE.modules.distributions as ref_dists
+    ref_defs = load_reference_defenses()
+    from tests.torch_refs import TVVgg, WrappedClassifier, numpy_state_dict
+    from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
+    from gen_adversarial_tpu.core.torch_convert import convert_nvae, convert_vgg
+    from gen_adversarial_tpu.models.classifiers import VGG11BN
+    from gen_adversarial_tpu.defenses.base import MLVGMDefense, make_classifier_apply
+    from gen_adversarial_tpu.defenses.purify import make_nvae_purify
+
+    ae_args = {
+        "initial_channels": 8, "num_pre-post_process_blocks": 1,
+        "num_pre-post_process_cells": 2, "num_logistic_mixtures": 5,
+        "num_scales": 2, "min_groups_per_scale": 1,
+        "num_groups_per_scale": 2, "is_adaptive": True,
+        "num_cells_per_group": 1, "num_latent_per_group": 4,
+        "num_nf_cells": 1,
+    }
+    torch.manual_seed(4)
+    ae = AutoEncoder(ae_args, resolution=(3, 32, 32))
+    plan = (8, "M", 16, "M", 16, 16, "M", 32, 32, "M", 32, 32, "M")
+    clf_t = WrappedClassifier(TVVgg(plan, n_classes=5))
+    for m in list(ae.modules()) + list(clf_t.modules()):
+        if isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+            m.running_mean.normal_(0, 0.2)
+            m.running_var.uniform_(0.6, 1.5)
+    ae.eval(); clf_t.eval()
+
+    cfg = NVAEConfig.from_reference_dict(ae_args, (3, 32, 32))
+    nvae_vars = jax.tree.map(jnp.asarray, convert_nvae(
+        {k: v.detach().numpy() for k, v in ae.state_dict().items()}, cfg))
+    clf_vars = jax.tree.map(jnp.asarray,
+                            convert_vgg(numpy_state_dict(clf_t), plan=plan))
+
+    n_groups = sum(cfg.groups_per_scale)
+    alphas = (np.linspace(0.1, 0.9, n_groups) * 0.7).astype(np.float32)
+    eps = 2.0
+    b = 2
+    rng = np.random.RandomState(29)
+    x = rng.rand(b, 3, 32, 32).astype(np.float32)
+    input_noise = rng.randn(b, 3, 32, 32).astype(np.float32)
+
+    # ---- reference: minimal self running the real pipeline methods
+    MLVGM = ref_defs.MLVGMDefenseModel
+    fake = SimpleNamespace(
+        blur_input=True, eps=eps, preprocess=False, postprocess=False,
+        mean=None, std=None, temperature=0.6, autoencoder=ae,
+        interpolation_alphas=list(alphas),
+        classifier=lambda img: clf_t((img - 0.5) / 0.5))
+    fake.apply_gaussian_blur = MethodType(MLVGM.apply_gaussian_blur, fake)
+    fake.add_gaussian_noise = MethodType(MLVGM.add_gaussian_noise, fake)
+    fake.purify = MethodType(ref_defs.NVAEDefenseModel.purify, fake)
+
+    monkeypatch.setattr(
+        torch.Tensor, "normal_",
+        lambda self, mean=0.0, std=1.0: self.copy_(torch.tensor(input_noise)))
+    eps_rng = np.random.RandomState(33)
+    recorded = []
+
+    def rec_sample(self):
+        e = torch.tensor(eps_rng.standard_normal(
+            tuple(self.mu.shape)).astype(np.float32))
+        recorded.append(e.numpy())
+        return self.sample_given_eps(e), e
+
+    monkeypatch.setattr(ref_dists.Normal, "sample", rec_sample)
+    with torch.no_grad():
+        want = MLVGM.__call__(fake, torch.tensor(x)).numpy()
+    assert len(recorded) == n_groups
+
+    # ---- ours: one ordered replay list (noise first, then purify eps)
+    replay = [np.transpose(input_noise, (0, 2, 3, 1))] + \
+        [e.transpose(0, 2, 3, 1) for e in recorded]
+    real_normal = jax.random.normal
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        assert replay and tuple(shape) == replay[0].shape, \
+            (tuple(shape), replay[0].shape if replay else None)
+        return jnp.asarray(replay.pop(0), dtype)
+
+    defense = MLVGMDefense(
+        purify_variables=nvae_vars, classifier_variables=clf_vars,
+        alphas=jnp.asarray(alphas),
+        purify_apply=make_nvae_purify(NVAE(cfg), temperature=0.6),
+        classifier_apply=make_classifier_apply(VGG11BN(n_classes=5, plan=plan)),
+        image_size=32, initial_noise_eps=eps, apply_blur=True,
+        normalize_before_purify=False)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    try:
+        got = defense(jax.random.PRNGKey(0),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    assert not replay
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
