@@ -38,8 +38,8 @@ class AVaeDefense:
 @struct.dataclass
 class NDVaeDefense:
     """nd_vae/purification_model.py: add N(0, noise_std) -> clamp ->
-    Defence_NVAE -> DiscMixLogistic mean (left in [-1,1], faithfully) ->
-    classifier."""
+    Defence_NVAE -> DiscMixLogistic mean in [0,1] (the ND-VAE's own mean
+    shifts by (x+1)/2, NVAE_utils.py:248) -> classifier."""
     variables: Any
     classifier_variables: Any
     model: DefenceNVAE = struct.field(pytree_node=False)

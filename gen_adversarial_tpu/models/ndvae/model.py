@@ -328,7 +328,11 @@ class DefenceNVAE(nn.Module):
 
     def purify(self, x, key):
         """The defense decode: mixture mean (nd_vae/purification_model.py:17-25).
-        NOTE: the reference returns the mean in the model's [-1,1] domain
-        WITHOUT denormalizing before the classifier - reproduced exactly."""
+        The ND-VAE's own DiscMixLogistic.mean (NVAE_utils.py:224-250) maps
+        the autoregressed mean to the [0,1] range with (x+1)/2 - unlike the
+        main NVAE's (distributions.py:231-254), which this module reuses -
+        so the shift is applied here; the classifier then sees a [0,1]
+        image, matching the reference wrapper exactly
+        (tests/test_competitors.py::test_ndvae_defense_wrapper_exact)."""
         logits, _, _, _ = self(x, key)
-        return DiscMixLogistic(logits).mean()
+        return (DiscMixLogistic(logits).mean() + 1.0) / 2.0

@@ -197,8 +197,8 @@ def test_ndvae_defense_wrapper(ref_ndvae):
     x = jnp.asarray(np.random.rand(2, 32, 32, 3).astype(np.float32))
     logits, purified = defense(jax.random.PRNGKey(1), x, preds_only=False)
     assert logits.shape == (2, 4)
-    # faithfully un-denormalized: output lives in [-1, 1]
-    assert float(purified.min()) < 0
+    # the ND-VAE's own DiscMixLogistic.mean maps to [0,1] (NVAE_utils.py:248)
+    assert float(purified.min()) >= 0.0 and float(purified.max()) <= 1.0
 
 
 def test_trades_loss_behavior():
@@ -222,3 +222,69 @@ def test_trades_loss_behavior():
     loss_b8 = trades_loss(model_fn, key, x, y, beta=8.0, distance="l_2",
                           epsilon=0.5, perturb_steps=4)
     assert float(loss_b8) >= float(loss_b0)
+
+
+def test_ndvae_defense_wrapper_exact(ref_ndvae, monkeypatch):
+    """Exact NDVaeDefenseModel parity (purification_model.py:8-31) vs the
+    reference wrapper itself: injected input noise, z = mu pinned on both
+    sides, matched linear classifier.  Seals the wrapper arithmetic -
+    noise_std scaling, clamp, DiscMixLogistic mean, and the
+    un-denormalized-[-1,1]-input classifier quirk."""
+    from src.defenses.competitors.nd_vae.purification_model import (
+        NDVaeDefenseModel as RefWrapper)
+    import src.defenses.competitors.nd_vae.modules.models.NVAE as ref_mod
+    import gen_adversarial_tpu.models.ndvae.model as nd_mod
+    from gen_adversarial_tpu.core.ndvae_convert import convert_ndvae
+
+    model = DefenceNVAE(x_channels=3, encoding_channels=4, pre_proc_groups=2,
+                        scales=2, groups=1, cells=1, input_dim=32)
+    sd = {k: v.detach().numpy() for k, v in ref_ndvae.state_dict().items()}
+    variables = convert_ndvae(sd, model)
+    variables["params"]["h"] = ref_ndvae.decoder.h.detach().numpy().transpose(0, 2, 3, 1)
+
+    rng = np.random.RandomState(19)
+    x = rng.rand(2, 3, 32, 32).astype(np.float32)
+    input_noise = rng.randn(2, 3, 32, 32).astype(np.float32)
+    noise_std = 0.25
+
+    W = rng.randn(32 * 32 * 3, 4).astype(np.float32)
+
+    class TorchClf(torch.nn.Module):
+        def forward(self, img):
+            return img.reshape(img.shape[0], -1) @ torch.tensor(W)
+
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t: torch.tensor(input_noise))
+    monkeypatch.setattr(ref_mod, "sample_normal_jit",
+                        lambda mu, sigma: (mu, torch.zeros_like(mu)))
+    ref_def = RefWrapper(TorchClf(), ref_ndvae, noise_std)
+    with torch.no_grad():
+        want = ref_def(torch.tensor(x)).numpy()
+
+    # ours: same classifier over the NCHW flatten ordering
+    Wj = jnp.asarray(W)
+
+    def clf_apply(v, z):
+        return jnp.transpose(z, (0, 3, 1, 2)).reshape(z.shape[0], -1) @ Wj
+
+    real_normal = jax.random.normal
+    state = {"first": True}
+
+    def fake_normal(key, shape=(), dtype=jnp.float32):
+        if state["first"] and tuple(shape) == (2, 32, 32, 3):
+            state["first"] = False
+            return jnp.asarray(input_noise.transpose(0, 2, 3, 1), dtype)
+        return real_normal(key, shape, dtype)
+
+    monkeypatch.setattr(jax.random, "normal", fake_normal)
+    monkeypatch.setattr(nd_mod.NDNormal, "sample",
+                        lambda self, key: (self.mu, jnp.zeros_like(self.mu)))
+    try:
+        defense = NDVaeDefense(variables, None, model, clf_apply,
+                               noise_std=noise_std)
+        got = defense(jax.random.PRNGKey(0),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
+    assert not state["first"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
