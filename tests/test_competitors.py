@@ -1,7 +1,8 @@
-"""Competitor (A-VAE, ND-VAE, TRADES) tests: parity vs the reference where
-it can run on CPU, structural/behavioral tests elsewhere (the reference's
-A-VAE/TRADES code hardcodes .cuda() in places, so some oracle paths cannot
-execute here and are covered by deterministic-subpath parity instead)."""
+"""Competitor (A-VAE, ND-VAE, TRADES) tests: parity vs the reference
+oracle, incl. exact defense-wrapper parity for both VAE competitors (the
+reference's scattered .cuda() hardcodings are stubbed to identity so the
+oracle paths run on CPU; TRADES loss parity lives in
+tests/test_trades_parity.py)."""
 
 import sys
 import types
@@ -287,4 +288,68 @@ def test_ndvae_defense_wrapper_exact(ref_ndvae, monkeypatch):
     finally:
         monkeypatch.setattr(jax.random, "normal", real_normal)
     assert not state["first"]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
+
+
+def test_avae_defense_wrapper_exact(monkeypatch):
+    """Exact AVaeDefenseModel parity (a_vae/purification_model.py) vs the
+    reference wrapper itself, with all sampling pinned to zero on both
+    sides: avg_pool downsampling, the [0,1]<->[-1,1] transforms, generator
+    inference, and a matched linear classifier.  The reference file uses
+    `torch.Tensor` annotations without importing torch (documented upstream
+    bug, SURVEY.md 7), shimmed via builtins for the import."""
+    import builtins
+    import importlib
+    load_reference()
+    had = hasattr(builtins, "torch")
+    builtins.torch = torch
+    try:
+        ref_wrap_mod = importlib.import_module(
+            "src.defenses.competitors.a_vae.purification_model")
+    finally:
+        if not had:
+            del builtins.torch
+    from src.defenses.competitors.a_vae.model import StyledGenerator as RefSG
+    from gen_adversarial_tpu.models.avae.model import StyledGenerator
+    from gen_adversarial_tpu.core.avae_convert import convert_avae
+
+    torch.manual_seed(3)
+    ref_gen = RefSG(64).eval()
+    sd = {k: v.detach().numpy() for k, v in ref_gen.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_avae(sd, 64))
+
+    rng = np.random.RandomState(37)
+    x = rng.rand(2, 3, 64, 64).astype(np.float32)
+    W = rng.randn(64 * 64 * 3, 4).astype(np.float32)
+
+    class TorchClf(torch.nn.Module):
+        def forward(self, img):
+            return img.reshape(img.shape[0], -1) @ torch.tensor(W)
+
+    monkeypatch.setattr(torch, "randn_like",
+                        lambda t, **kw: torch.zeros_like(t))
+    monkeypatch.setattr(torch, "randn",
+                        lambda *a, **kw: torch.zeros(*a))
+    # the generator's noise path hardcodes .cuda() (a_vae/model.py:134)
+    monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **kw: self)
+    ref_def = ref_wrap_mod.AVaeDefenseModel(TorchClf(), ref_gen, kernel_size=2)
+    with torch.no_grad():
+        want = ref_def(torch.tensor(x)).numpy()
+
+    Wj = jnp.asarray(W)
+
+    def clf_apply(v, z):
+        return jnp.transpose(z, (0, 3, 1, 2)).reshape(z.shape[0], -1) @ Wj
+
+    real_normal = jax.random.normal
+    monkeypatch.setattr(
+        jax.random, "normal",
+        lambda key, shape=(), dtype=jnp.float32: jnp.zeros(shape, dtype))
+    try:
+        defense = AVaeDefense(variables, None, StyledGenerator(64), clf_apply,
+                              kernel_size=2)
+        got = defense(jax.random.PRNGKey(0),
+                      jnp.asarray(x.transpose(0, 2, 3, 1)))
+    finally:
+        monkeypatch.setattr(jax.random, "normal", real_normal)
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-3)
