@@ -51,7 +51,18 @@ def main():
                         "initializes the backbone from it with a fresh "
                         "projector head, like the reference's DEFAULT-weights "
                         "init (classifier/model.py:15-16)")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host DP: jax.distributed.initialize from "
+                        "JAX_COORDINATOR/JAX_NUM_PROCESSES/JAX_PROCESS_ID "
+                        "env (or auto on TPU pods); the mesh spans every "
+                        "process's devices - the torchrun-DDP equivalent "
+                        "(reference classifier/train.py:334-348)")
     args = p.parse_args()
+
+    distributed = False
+    if args.distributed:
+        from gen_adversarial_tpu.core.distributed import maybe_initialize
+        distributed = maybe_initialize()
 
     from gen_adversarial_tpu.data.datasets import ImageLabelDataset
     from gen_adversarial_tpu.train.classifier import fit
@@ -68,8 +79,12 @@ def main():
                          tds, vds, epochs=args.epochs, lr=args.lr,
                          batch_size=args.cumulative_bs, seed=args.seed,
                          n_devices=args.n_devices,
-                         init_variables=init_variables)
+                         init_variables=init_variables,
+                         distributed=distributed)
 
+    import jax as _jax
+    if distributed and _jax.process_index() != 0:
+        return
     if args.checkpoint_path:
         from gen_adversarial_tpu.core.checkpoint import save_variables
         import jax

@@ -13,6 +13,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from flax.training import train_state
@@ -76,15 +77,38 @@ def shard_state_and_batch(mesh, state, batch):
     return state, batch
 
 
+def _to_global(sharding, tree):
+    """Place a host pytree under `sharding`, working in BOTH runtimes: plain
+    device_put single-process, jax.make_array_from_process_local_data when
+    the mesh spans processes (device_put cannot address remote devices).
+    For batch shardings each process passes its LOCAL slice; for replicated
+    shardings every process passes the same full value."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
 def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
         epochs: int, lr: float, batch_size: int, seed: int = 0,
         eval_freq: int | None = None, log_fn=print, n_devices: int | None = None,
         checkpoint_dir: str | None = None, resume_step: int | None = None,
-        save_every: int | None = None, init_variables: dict | None = None):
+        save_every: int | None = None, init_variables: dict | None = None,
+        distributed: bool = False):
     """End-to-end training loop (epoch structure mirrors
     classifier/train.py:261-302: validate every eval_freq epochs where
     eval_freq = 1 if epochs <= 50 else 5; periodic orbax checkpoints +
-    --resume_from equivalent via resume_step, train.py:221-236,292-301)."""
+    --resume_from equivalent via resume_step, train.py:221-236,292-301).
+
+    With distributed=True (after core.distributed.maybe_initialize), the DP
+    mesh spans every process's devices - the multi-host equivalent of the
+    reference's torchrun DDP launch (train.py:334-348).  Every process
+    walks the SAME shuffled epoch order and takes its contiguous slice of
+    each global batch, so the global batch content (and therefore the
+    training trajectory) is identical to the single-process run; grads
+    all-reduce over DCN via the XLA-inserted collective, checkpoints/logs
+    come from process 0 only."""
     from gen_adversarial_tpu.data.datasets import iterate_batches
     from gen_adversarial_tpu.core.checkpoint import save_train_state, load_train_state
 
@@ -109,16 +133,32 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
     if save_every is None:
         save_every = eval_freq * 2  # train.py:292
 
+    n_proc = jax.process_count() if distributed else 1
+    pid = jax.process_index() if distributed else 0
+    if pid != 0:
+        log_fn = lambda s: None  # noqa: E731 (rank-0 logging, train.py:309)
+    if batch_size % n_proc:
+        raise ValueError(f"batch_size {batch_size} not divisible by "
+                         f"{n_proc} processes")
+    per_proc = batch_size // n_proc
+
+    def local_slice(batch):
+        """This process's contiguous slice of a global batch (devices are
+        process-major in the mesh, so slice p covers p's shards)."""
+        if n_proc == 1:
+            return batch
+        return jax.tree.map(lambda x: x[pid * per_proc:(pid + 1) * per_proc],
+                            batch)
+
     step_key = jax.random.PRNGKey(seed + 1)
     history = []
     with jax.set_mesh(mesh):
-        state = jax.device_put(state, replicated(mesh))
+        state = _to_global(replicated(mesh), state)
         for epoch in range(start_epoch, epochs):
             losses = []
             for batch in iterate_batches(train_ds, batch_size, shuffle=True,
                                          seed=seed + epoch):
-                batch = jax.tree.map(
-                    lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+                batch = _to_global(batch_sharding(mesh), local_slice(batch))
                 step_key, sub = jax.random.split(step_key)
                 state, loss = train_step(state, batch, sub)
                 losses.append(loss)
@@ -127,14 +167,28 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
             if epoch % eval_freq == 0 or epoch == epochs - 1:
                 correct = total = 0
                 for batch in iterate_batches(val_ds, batch_size, drop_last=False):
-                    batch = jax.tree.map(
-                        lambda x: jax.device_put(x, batch_sharding(mesh)), batch)
+                    if batch["label"].shape[0] % n_proc:
+                        # pad the ragged tail so every process holds a slice
+                        pad = n_proc - batch["label"].shape[0] % n_proc
+                        batch = {
+                            "image": np.concatenate(
+                                [batch["image"], batch["image"][:pad]], 0),
+                            "label": np.concatenate(
+                                [batch["label"],
+                                 np.full((pad,), -1, batch["label"].dtype)], 0),
+                        }
+                    bsz = batch["label"].shape[0] // n_proc
+                    local = jax.tree.map(
+                        lambda x: x[pid * bsz:(pid + 1) * bsz], batch) \
+                        if n_proc > 1 else batch
+                    batch = _to_global(batch_sharding(mesh), local)
                     c, n = eval_step(state, batch)
                     correct += int(c)
-                    total += int(n)
+                    total += int(n) - int(jnp.sum(batch["label"] == -1))
                 acc = correct / max(total, 1)
                 log_fn(f"[epoch {epoch + 1}] val accuracy {acc * 100:.2f}")
                 history.append({"epoch": epoch, "loss": epoch_loss, "acc": acc})
-            if checkpoint_dir and (epoch % save_every == 0 or epoch == epochs - 1):
+            if checkpoint_dir and pid == 0 and (
+                    epoch % save_every == 0 or epoch == epochs - 1):
                 save_train_state(checkpoint_dir, jax.device_get(state), epoch + 1)
     return state, history

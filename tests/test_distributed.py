@@ -1,8 +1,10 @@
-"""Multi-host readiness: a REAL 2-process jax.distributed CPU run of the
-eval harness produces the same results as the single-process run.
+"""Multi-host readiness: REAL 2-process jax.distributed CPU runs of the
+eval harness AND the classifier trainer produce the same results as their
+single-process runs.
 
-(The reference's multi-process path: torchrun/mp.spawn + DistributedSampler
-+ all_gather, test_defense.py:88-103,239-253.)
+(The reference's multi-process paths: torchrun/mp.spawn + DistributedSampler
++ all_gather for eval, test_defense.py:88-103,239-253; torchrun DDP for
+training, classifier/train.py:334-348.)
 """
 
 import json
@@ -65,3 +67,72 @@ def test_two_process_run_matches_single_process(tiny_world):  # noqa: F811
     # so compare as multisets
     assert sorted(two["DeepFool"]) == pytest.approx(sorted(single["DeepFool"]))
     assert len(two["DeepFool"]) == len(single["DeepFool"])
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    """REAL 2-process jax.distributed CPU training run: identical epoch
+    losses/accuracies across both workers and final params matching the
+    single-process trajectory (same global batches: every process walks the
+    same shuffled order and takes its contiguous slice).  The multi-host
+    equivalent of the reference's torchrun DDP trainer
+    (classifier/train.py:334-348)."""
+    from PIL import Image
+
+    data_dir = tmp_path / "data"
+    rng = np.random.RandomState(5)
+    for split, n in (("train", 8), ("validation", 4)):
+        for c in range(2):
+            d = data_dir / split / f"cls{c}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    # single-process reference trajectory on a TWO-device mesh (same batch
+    # sharding as the 2-process run).  Cross-process collectives reduce in a
+    # different order than the intra-process ones, so agreement is to fp
+    # tolerance; the low lr keeps the short trajectory non-chaotic.
+    import gen_adversarial_tpu.train.classifier as tc
+    from gen_adversarial_tpu.models.classifiers import VGG11BN
+    TINY = (4, "M", 8, "M", 8, 8, "M", 8, 8, "M", 8, 8, "M")
+    orig = tc.make_classifier
+    tc.make_classifier = lambda t, n: VGG11BN(n_classes=n, plan=TINY)
+    try:
+        from gen_adversarial_tpu.data.datasets import ImageLabelDataset
+        tds = ImageLabelDataset(str(data_dir / "train"), 32)
+        vds = ImageLabelDataset(str(data_dir / "validation"), 32)
+        state, history = tc.fit("vgg", 2, 32, tds, vds, epochs=1, lr=1e-3,
+                                batch_size=4, seed=7, n_devices=2,
+                                log_fn=lambda s: None)
+    finally:
+        tc.make_classifier = orig
+    want = {jax.tree_util.keystr(k): np.asarray(v)
+            for k, v in jax.tree_util.tree_leaves_with_path(
+                jax.device_get(state.params))}
+
+    port = _free_port()
+    out_npz = tmp_path / "params_2proc.npz"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/_distributed_train_worker.py", str(port),
+             str(pid), "2", str(data_dir), str(out_npz)],
+            cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    # both workers observed the same replicated metrics
+    lines0 = [l.split("]")[1] for l in outs[0].splitlines() if "epoch=" in l]
+    lines1 = [l.split("]")[1] for l in outs[1].splitlines() if "epoch=" in l]
+    assert lines0 and lines0 == lines1, (outs[0], outs[1])
+
+    got = np.load(out_npz)
+    assert set(got.files) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
