@@ -24,10 +24,19 @@ def main():
     p.add_argument("--cumulative-bs", type=int, required=True)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True)
+    p.add_argument("--n-devices", type=int, default=None)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host DP like the reference's torchrun DDP "
+                        "fine-tuner (trades/fine_tune_classifier.py:82,239)")
     args = p.parse_args()
 
     import jax
     import optax
+
+    distributed = False
+    if args.distributed:
+        from gen_adversarial_tpu.core.distributed import maybe_initialize
+        distributed = maybe_initialize()
     from gen_adversarial_tpu.core.config import IMAGE_SIZE, N_CLASSES
     from gen_adversarial_tpu.core.checkpoint import load_variables, save_variables
     from gen_adversarial_tpu.data.datasets import ImageLabelDataset, iterate_batches
@@ -47,23 +56,43 @@ def main():
     recipe = TRADES_RECIPES[args.experiment]
     step = make_trades_train_step(beta=recipe["beta"], epsilon=recipe["epsilon"])
 
+    # DP mesh, sharded like the classifier trainer (the reference's TRADES
+    # fine-tuner shares the same DDP skeleton, fine_tune_classifier.py:239)
+    from gen_adversarial_tpu.core.mesh import make_mesh, batch_sharding, replicated
+    from gen_adversarial_tpu.train.classifier import _to_global
+
+    n_proc = jax.process_count() if distributed else 1
+    pid = jax.process_index() if distributed else 0
+    if args.cumulative_bs % n_proc:
+        raise SystemExit(f"--cumulative-bs {args.cumulative_bs} not divisible "
+                         f"by {n_proc} processes")
+    per_proc = args.cumulative_bs // n_proc
+    mesh = make_mesh(args.n_devices)
+
     tds = ImageLabelDataset(f"{args.data_path}/train", image_size)
     key = jax.random.PRNGKey(args.seed)
-    for epoch in range(args.epochs):
-        losses = []
-        for batch in iterate_batches(tds, args.cumulative_bs, shuffle=True,
-                                     seed=args.seed + epoch):
-            import jax.numpy as jnp
-            batch = {k: jnp.asarray(v) for k, v in batch.items()}
-            key, sub = jax.random.split(key)
-            state, loss = step(state, batch, sub)
-            losses.append(float(loss))
-        print(f"[epoch {epoch + 1}/{args.epochs}] trades loss {np.mean(losses):.4f}")
+    with jax.set_mesh(mesh):
+        state = _to_global(replicated(mesh), state)
+        for epoch in range(args.epochs):
+            losses = []
+            for batch in iterate_batches(tds, args.cumulative_bs, shuffle=True,
+                                         seed=args.seed + epoch):
+                if n_proc > 1:
+                    batch = jax.tree.map(
+                        lambda x: x[pid * per_proc:(pid + 1) * per_proc], batch)
+                batch = _to_global(batch_sharding(mesh), batch)
+                key, sub = jax.random.split(key)
+                state, loss = step(state, batch, sub)
+                losses.append(float(loss))
+            if pid == 0:
+                print(f"[epoch {epoch + 1}/{args.epochs}] "
+                      f"trades loss {np.mean(losses):.4f}")
 
-    save_variables(Path(args.out) / "last.msgpack",
-                   {"params": jax.device_get(state.params),
-                    "batch_stats": jax.device_get(state.batch_stats)},
-                   {"experiment": args.experiment, "trades": recipe})
+    if pid == 0:
+        save_variables(Path(args.out) / "last.msgpack",
+                       {"params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats)},
+                       {"experiment": args.experiment, "trades": recipe})
 
 
 if __name__ == "__main__":

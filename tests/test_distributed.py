@@ -136,3 +136,55 @@ def test_two_process_training_matches_single_process(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
                                    err_msg=k)
+
+
+def test_two_process_trades_cli_matches_single_process(tmp_path):
+    """REAL 2-process run of the TRADES fine-tune CLI (--distributed):
+    final fine-tuned params match the single-process trajectory (same
+    global batches; the reference's TRADES fine-tuner is the same torchrun
+    DDP skeleton, trades/fine_tune_classifier.py:82,239)."""
+    from PIL import Image
+    import jax.numpy as jnp
+    from gen_adversarial_tpu.models.classifiers import VGG11BN
+    from gen_adversarial_tpu.core.checkpoint import save_variables, load_variables
+
+    data_dir = tmp_path / "data"
+    rng = np.random.RandomState(9)
+    for c in range(2):
+        d = data_dir / "train" / f"cls{c}"
+        d.mkdir(parents=True)
+        for i in range(4):
+            arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    TINY = (4, "M", 8, "M", 8, 8, "M", 8, 8, "M", 8, 8, "M")
+    model = VGG11BN(n_classes=2, plan=TINY)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                           train=False)
+    ckpt = tmp_path / "clf.msgpack"
+    save_variables(ckpt, {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})}, {})
+
+    def run(pcount: int, out_dir: Path):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "tests/_distributed_trades_worker.py",
+                 str(port), str(pid), str(pcount), str(data_dir), str(ckpt),
+                 str(out_dir)],
+                cwd="/root/repo", stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True)
+            for pid in range(pcount)]
+        outs = [p.communicate(timeout=420)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, out[-3000:]
+        got, _ = load_variables(out_dir / "last.msgpack")
+        return {jax.tree_util.keystr(k): np.asarray(v)
+                for k, v in jax.tree_util.tree_leaves_with_path(got["params"])}
+
+    want = run(1, tmp_path / "out_1proc")
+    got = run(2, tmp_path / "out_2proc")
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
