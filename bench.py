@@ -410,8 +410,15 @@ def main():
             except Exception as e:  # report partial coverage, never crash
                 results[name] = {"error": f"{type(e).__name__}: {e}"}
         head = results.pop("flagship_bf16")
-        out = dict(head, vs_baseline=round(head["value"] / BASELINE_A100_IMG_S, 2),
-                   extra=results)
+        if head.get("value") is not None:
+            out = dict(head,
+                       vs_baseline=round(head["value"] / BASELINE_A100_IMG_S, 2),
+                       extra=results)
+        else:  # flagship itself failed: still report the other measurements
+            out = {"metric": "eot32_nvae_defense_images_per_sec_per_chip",
+                   "value": None, "unit": "img/s", "vs_baseline": None,
+                   "error": head.get("error", "flagship bench failed"),
+                   "extra": results}
     else:
         head = BENCHES[MODE]()
         out = dict(head)

@@ -66,7 +66,6 @@ def main():
     if args.cumulative_bs % n_proc:
         raise SystemExit(f"--cumulative-bs {args.cumulative_bs} not divisible "
                          f"by {n_proc} processes")
-    per_proc = args.cumulative_bs // n_proc
     mesh = make_mesh(args.n_devices)
 
     tds = ImageLabelDataset(f"{args.data_path}/train", image_size)
@@ -75,11 +74,11 @@ def main():
         state = _to_global(replicated(mesh), state)
         for epoch in range(args.epochs):
             losses = []
+            # batch_slice: same global shuffled order on every process, but
+            # each decodes only its contiguous 1/n_proc of each batch
             for batch in iterate_batches(tds, args.cumulative_bs, shuffle=True,
-                                         seed=args.seed + epoch):
-                if n_proc > 1:
-                    batch = jax.tree.map(
-                        lambda x: x[pid * per_proc:(pid + 1) * per_proc], batch)
+                                         seed=args.seed + epoch,
+                                         batch_slice=(pid, n_proc)):
                 batch = _to_global(batch_sharding(mesh), batch)
                 key, sub = jax.random.split(key)
                 state, loss = step(state, batch, sub)

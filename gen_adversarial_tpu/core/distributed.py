@@ -26,10 +26,12 @@ def maybe_initialize(coordinator_address: str | None = None,
     """Initialize jax.distributed when multi-process is configured.
 
     Explicit arguments win; otherwise standard env vars are honored
-    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
-    TPU-pod runtime's automatic discovery).  Returns True when a
-    multi-process runtime was initialized; False for the single-process
-    fallback (the reference's single-GPU 'debugging mode',
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID), and with
+    neither, the runtime's automatic discovery (TPU pod / GKE / Slurm) is
+    attempted — an undetectable environment exits with an error rather than
+    silently duplicating work across workers.  Returns True when a
+    multi-process runtime was initialized; False when the (auto-discovered)
+    world is a single process (the reference's single-GPU 'debugging mode',
     classifier/train.py:344-348)."""
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
@@ -38,7 +40,21 @@ def maybe_initialize(coordinator_address: str | None = None,
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
-        return False
+        # No manual wiring: try the runtime's automatic discovery (TPU pod /
+        # GKE / Slurm / MPI cluster environments).  The caller asked for
+        # multi-process explicitly (--distributed), so an undetectable
+        # environment is an ERROR, not a silent single-process fallback:
+        # falling back would make every pod worker train/eval the full
+        # dataset independently and race on checkpoints/results.json.
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            raise SystemExit(
+                "--distributed requested but no cluster environment could "
+                "be auto-discovered; set JAX_COORDINATOR_ADDRESS / "
+                "JAX_NUM_PROCESSES / JAX_PROCESS_ID for manual wiring "
+                f"(auto-discovery said: {type(e).__name__}: {e})")
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes, process_id=process_id,

@@ -64,7 +64,8 @@ def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
                     shuffle: bool = False, seed: int = 0,
                     drop_last: bool = True, prefetch: int = 2,
                     use_native: bool = True,
-                    shard: tuple[int, int] = (0, 1)):
+                    shard: tuple[int, int] = (0, 1),
+                    batch_slice: tuple[int, int] = (0, 1)):
     """Yield dict batches {'image': (B,H,W,C) f32, 'label': (B,) i32} with a
     background prefetch thread (the host-side analogue of DataLoader
     workers; device transfer overlaps via jax's async dispatch).
@@ -89,9 +90,17 @@ def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
 
+    # contiguous slice-of-n of each GLOBAL batch (multi-host DP training:
+    # every process walks the same shuffled order, so the global batch
+    # content is identical to a single-process run, but each process only
+    # DECODES its own slice - 1/n the host-side IO)
+    sl, sn = batch_slice
+
     def producer():
         for b in range(n_batches):
             idx = order[b * batch_size:(b + 1) * batch_size]
+            if sn > 1:
+                idx = idx[sl * len(idx) // sn:(sl + 1) * len(idx) // sn]
             if native is not None:
                 try:
                     imgs = native.decode_batch(

