@@ -28,7 +28,7 @@ def load_variables(path: str | Path) -> tuple:
     variables = serialization.msgpack_restore(path.read_bytes())
     meta_path = path.with_suffix(".json")
     meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
-    return jax.tree.map(lambda x: x, variables), meta
+    return variables, meta
 
 
 def save_train_state(ckpt_dir: str | Path, state, step: int):

@@ -89,34 +89,58 @@ def iterate_batches(dataset: ImageLabelDataset, batch_size: int,
             native = fastloader
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
 
     # contiguous slice-of-n of each GLOBAL batch (multi-host DP training:
     # every process walks the same shuffled order, so the global batch
     # content is identical to a single-process run, but each process only
     # DECODES its own slice - 1/n the host-side IO)
     sl, sn = batch_slice
+    hw = (dataset.image_size, dataset.image_size)
+
+    def _put(item) -> bool:
+        """Bounded put that gives up when the consumer is gone (an early
+        `break` out of the batch loop must not pin this thread on a full
+        queue forever)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
-        for b in range(n_batches):
-            idx = order[b * batch_size:(b + 1) * batch_size]
-            if sn > 1:
-                idx = idx[sl * len(idx) // sn:(sl + 1) * len(idx) // sn]
-            if native is not None:
-                try:
-                    imgs = native.decode_batch(
-                        [dataset.files[i] for i in idx],
-                        dataset.image_size, dataset.image_size)
-                except RuntimeError:
+        try:
+            for b in range(n_batches):
+                idx = order[b * batch_size:(b + 1) * batch_size]
+                if sn > 1:
+                    idx = idx[sl * len(idx) // sn:(sl + 1) * len(idx) // sn]
+                if len(idx) == 0:  # a ragged tail can slice empty
+                    imgs = np.zeros((0,) + hw + (3,), np.float32)
+                elif native is not None:
+                    try:
+                        imgs = native.decode_batch(
+                            [dataset.files[i] for i in idx], *hw)
+                    except RuntimeError:
+                        imgs = np.stack([dataset.load_image(i) for i in idx])
+                else:
                     imgs = np.stack([dataset.load_image(i) for i in idx])
-            else:
-                imgs = np.stack([dataset.load_image(i) for i in idx])
-            q.put({"image": imgs, "label": dataset.labels[idx]})
-        q.put(None)
+                if not _put({"image": imgs, "label": dataset.labels[idx]}):
+                    return
+            _put(None)
+        except BaseException as e:  # surface decode errors in the consumer
+            _put(e)                 # (a dead producer would deadlock q.get)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -46,19 +46,29 @@ def create_adversarial_dataset(loaded, images_path: str, out_dir: str,
     kept = 0
     out = Path(out_dir)
     idx = 0
-    for batch in iterate_batches(dataset, batch_size, drop_last=False):
+    # shuffled walk, like the reference's shuffle=True DataLoader ("to allow
+    # samples from all classes", create_adversarial_dataset.py:60): without
+    # it the kept n_samples all come from the alphabetically-first classes.
+    # `order` replays iterate_batches' shuffle so files can be named.
+    order = np.arange(len(dataset))
+    np.random.RandomState(seed).shuffle(order)
+    for batch in iterate_batches(dataset, batch_size, drop_last=False,
+                                 shuffle=True, seed=seed):
         if kept >= n_samples:
             break
         x = jnp.clip(jnp.asarray(batch["image"]), 0, 1)
         y = jnp.asarray(batch["label"])
         key, sub = jax.random.split(key)
-        succ, _, adv = attack(sub, x, y)
-        succ = np.asarray(succ)
+        succ, bound, adv = attack(sub, x, y)
+        succ, bound = np.asarray(succ), np.asarray(bound)
         adv = np.asarray(adv)
         for i in range(x.shape[0]):
-            f = dataset.files[idx]
+            f = dataset.files[order[idx]]
             idx += 1
-            if not succ[i] or kept >= n_samples:
+            # bound > 0 excludes already-misclassified clean images, which
+            # FGSM reports as zero-perturbation successes (the reference's
+            # `if success and bound > 0.`, create_adversarial_dataset.py:103)
+            if not succ[i] or bound[i] <= 0.0 or kept >= n_samples:
                 continue
             dest = out / f.parent.name
             dest.mkdir(parents=True, exist_ok=True)

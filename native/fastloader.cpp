@@ -100,11 +100,15 @@ bool decode_png(FILE* f, Image* img) {
     if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
     if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
         png_set_expand_gray_1_2_4_to_8(png);
-    if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+    bool trns = png_get_valid(png, info, PNG_INFO_tRNS) != 0;
+    if (trns) png_set_tRNS_to_alpha(png);
     if (color_type == PNG_COLOR_TYPE_GRAY ||
         color_type == PNG_COLOR_TYPE_GRAY_ALPHA)
         png_set_gray_to_rgb(png);
-    if (color_type & PNG_COLOR_MASK_ALPHA) png_set_strip_alpha(png);
+    // strip alpha whether it was native (MASK_ALPHA) or synthesized by the
+    // tRNS expansion above - palette/gray/RGB + tRNS would otherwise decode
+    // 4-channel into the 3-channel buffer below (heap overflow)
+    if ((color_type & PNG_COLOR_MASK_ALPHA) || trns) png_set_strip_alpha(png);
     png_read_update_info(png, info);
 
     img->w = int(w);
@@ -135,32 +139,88 @@ bool decode_file(const char* path, Image* img) {
     return ok;
 }
 
-// bilinear resize (half-pixel centers) uint8 HWC -> float32 HWC in [0,1]
+// Antialiased separable triangle-filter resize, the same algorithm as
+// PIL/torchvision Resize(BILINEAR) (support scaled by the downscale factor)
+// so the native path and the PIL fallback in datasets.py produce the same
+// preprocessing (the reference's transform is torchvision Resize with
+// antialias=True, data/datasets.py:27 upstream).
+struct Filter1D {
+    std::vector<int> start;      // first source index per output index
+    std::vector<int> count;      // taps per output index
+    std::vector<float> weights;  // ksize-strided normalized taps
+    int ksize = 0;
+};
+
+Filter1D make_triangle(int in_size, int out_size) {
+    const double scale = double(in_size) / out_size;
+    const double fscale = std::max(1.0, scale);
+    const double support = 1.0 * fscale;  // triangle filter support = 1
+    Filter1D f;
+    f.ksize = int(std::ceil(support)) * 2 + 1;
+    f.start.resize(out_size);
+    f.count.resize(out_size);
+    f.weights.assign(size_t(out_size) * f.ksize, 0.0f);
+    std::vector<double> w(f.ksize);
+    for (int o = 0; o < out_size; o++) {
+        const double center = (o + 0.5) * scale;
+        int xmin = std::max(0, int(center - support + 0.5));
+        int xmax = std::min(in_size, int(center + support + 0.5));
+        double total = 0.0;
+        for (int x = xmin; x < xmax; x++) {
+            double t = std::abs((x - center + 0.5) / fscale);
+            w[x - xmin] = t < 1.0 ? 1.0 - t : 0.0;
+            total += w[x - xmin];
+        }
+        f.start[o] = xmin;
+        f.count[o] = xmax - xmin;
+        for (int k = 0; k < xmax - xmin; k++)
+            f.weights[size_t(o) * f.ksize + k] =
+                total > 0 ? float(w[k] / total) : 0.0f;
+    }
+    return f;
+}
+
+// uint8 HWC -> float32 HWC in [0,1]
 void resize_to_float(const Image& img, int out_h, int out_w, float* out) {
-    const float sy = float(img.h) / out_h;
-    const float sx = float(img.w) / out_w;
     const uint8_t* src = img.data.data();
     const int W = img.w, H = img.h;
-    for (int oy = 0; oy < out_h; oy++) {
-        float fy = (oy + 0.5f) * sy - 0.5f;
-        int y0 = std::max(0, std::min(H - 1, int(std::floor(fy))));
-        int y1 = std::min(H - 1, y0 + 1);
-        float wy = std::max(0.0f, std::min(1.0f, fy - y0));
+    if (W == out_w && H == out_h) {
+        const size_t n = size_t(H) * W * 3;
+        for (size_t i = 0; i < n; i++) out[i] = src[i] * (1.0f / 255.0f);
+        return;
+    }
+    const Filter1D fx = make_triangle(W, out_w);
+    const Filter1D fy = make_triangle(H, out_h);
+    // horizontal pass: (H, W, 3) -> (H, out_w, 3)
+    std::vector<float> tmp(size_t(H) * out_w * 3);
+    for (int y = 0; y < H; y++) {
+        const uint8_t* row = src + size_t(y) * W * 3;
+        float* trow = tmp.data() + size_t(y) * out_w * 3;
         for (int ox = 0; ox < out_w; ox++) {
-            float fx = (ox + 0.5f) * sx - 0.5f;
-            int x0 = std::max(0, std::min(W - 1, int(std::floor(fx))));
-            int x1 = std::min(W - 1, x0 + 1);
-            float wx = std::max(0.0f, std::min(1.0f, fx - x0));
-            float* dst = out + (size_t(oy) * out_w + ox) * 3;
-            for (int ch = 0; ch < 3; ch++) {
-                float a = src[(size_t(y0) * W + x0) * 3 + ch];
-                float b = src[(size_t(y0) * W + x1) * 3 + ch];
-                float cpx = src[(size_t(y1) * W + x0) * 3 + ch];
-                float d = src[(size_t(y1) * W + x1) * 3 + ch];
-                float top = a + (b - a) * wx;
-                float bot = cpx + (d - cpx) * wx;
-                dst[ch] = (top + (bot - top) * wy) * (1.0f / 255.0f);
+            const float* wt = fx.weights.data() + size_t(ox) * fx.ksize;
+            const int x0 = fx.start[ox], n = fx.count[ox];
+            float acc0 = 0, acc1 = 0, acc2 = 0;
+            for (int k = 0; k < n; k++) {
+                const uint8_t* p = row + size_t(x0 + k) * 3;
+                acc0 += wt[k] * p[0];
+                acc1 += wt[k] * p[1];
+                acc2 += wt[k] * p[2];
             }
+            trow[ox * 3 + 0] = acc0;
+            trow[ox * 3 + 1] = acc1;
+            trow[ox * 3 + 2] = acc2;
+        }
+    }
+    // vertical pass: (H, out_w, 3) -> (out_h, out_w, 3), scaled to [0,1]
+    for (int oy = 0; oy < out_h; oy++) {
+        const float* wt = fy.weights.data() + size_t(oy) * fy.ksize;
+        const int y0 = fy.start[oy], n = fy.count[oy];
+        float* drow = out + size_t(oy) * out_w * 3;
+        for (int j = 0; j < out_w * 3; j++) {
+            float acc = 0;
+            for (int k = 0; k < n; k++)
+                acc += wt[k] * tmp[size_t(y0 + k) * out_w * 3 + j];
+            drow[j] = acc * (1.0f / 255.0f);
         }
     }
 }

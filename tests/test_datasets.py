@@ -44,3 +44,34 @@ def test_iterate_batches_shuffle_and_fallback(folder):
     # PIL fallback path
     batches = list(iterate_batches(ds, 4, drop_last=False, use_native=False))
     assert sum(x["image"].shape[0] for x in batches) == 9
+
+
+def test_iterate_batches_surfaces_decode_errors(tmp_path):
+    """A corrupt file must raise in the consumer, not kill the producer
+    thread silently (which would deadlock q.get forever)."""
+    from PIL import Image
+    d = tmp_path / "cls0"
+    d.mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(d / "ok.png")
+    (d / "bad.png").write_bytes(b"not an image")
+    ds = ImageLabelDataset(str(tmp_path), 8)
+    with pytest.raises(Exception):
+        for _ in iterate_batches(ds, 2, drop_last=False):
+            pass
+
+
+def test_iterate_batches_batch_slice(folder):
+    """batch_slice decodes only the contiguous 1/n of each global batch,
+    preserving the global order (the multi-host DP training contract)."""
+    ds = ImageLabelDataset(str(folder), 8)
+    full = list(iterate_batches(ds, 4, shuffle=True, seed=3, drop_last=True))
+    lo = list(iterate_batches(ds, 4, shuffle=True, seed=3, drop_last=True,
+                              batch_slice=(0, 2)))
+    hi = list(iterate_batches(ds, 4, shuffle=True, seed=3, drop_last=True,
+                              batch_slice=(1, 2)))
+    assert len(full) == len(lo) == len(hi)
+    for f, a, b in zip(full, lo, hi):
+        np.testing.assert_array_equal(
+            f["image"], np.concatenate([a["image"], b["image"]], 0))
+        np.testing.assert_array_equal(
+            f["label"], np.concatenate([a["label"], b["label"]], 0))

@@ -52,6 +52,9 @@ def main():
     p.add_argument("--ndvae", nargs=6, type=int, default=None,
                    metavar=("XCH", "ENC", "PREGROUPS", "SCALES", "GROUPS", "CELLS"))
     args = p.parse_args()
+    if args.kind == "ndvae" and args.ndvae is None:
+        p.error("--kind ndvae requires --ndvae XCH ENC PREGROUPS SCALES "
+                "GROUPS CELLS (the Defence_NVAE architecture ints)")
 
     from gen_adversarial_tpu.core.checkpoint import save_variables
     ckpt = load_torch(args.src)
@@ -75,8 +78,7 @@ def main():
         from gen_adversarial_tpu.core.stylegan_convert import convert_psp
         sd = to_numpy_sd(ckpt["state_dict"])
         sd["latent_avg"] = ckpt["latent_avg"].numpy()
-        variables = convert_psp({**sd, "state_dict": sd},
-                                args.stylegan_size)
+        variables = convert_psp(sd, args.stylegan_size)
         meta["stylegan_size"] = args.stylegan_size
     elif args.kind == "trans":
         from gen_adversarial_tpu.core.stylegan_convert import convert_style_transformer
@@ -87,7 +89,18 @@ def main():
         meta["output_size"] = args.output_size
     elif args.kind == "avae":
         from gen_adversarial_tpu.core.avae_convert import convert_avae
-        sd = to_numpy_sd(ckpt if "generator" not in ckpt else ckpt["generator"])
+        # The deployable reference artifact is a BARE g_running (EMA) state
+        # dict (a_vae/train.py:82-84); 'train-iter-*.pt' resume dicts hold
+        # the raw live generator instead, which the defense is NOT
+        # specified to use - convert it only with a loud warning.
+        if "generator" in ckpt:
+            print("WARNING: this looks like an A-VAE train-iter resume "
+                  "checkpoint; converting its LIVE 'generator' weights, not "
+                  "the EMA g_running the reference defense loads (the EMA "
+                  "weights are the bare-state-dict NNNNNN.pt files)")
+            sd = to_numpy_sd(ckpt["generator"])
+        else:
+            sd = to_numpy_sd(ckpt)
         variables = convert_avae(sd, args.image_size)
         meta["image_size"] = args.image_size
     elif args.kind == "ndvae":
