@@ -18,9 +18,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
-    """1-D data-parallel mesh over the first `n_devices` devices."""
-    devices = jax.devices()
+def make_mesh(n_devices: int | None = None, axis_name: str = "data",
+              local: bool = False) -> Mesh:
+    """1-D data-parallel mesh over the first `n_devices` devices.
+
+    local=True builds the mesh from this PROCESS's addressable devices
+    (for per-process independent work like the eval harness's dataset
+    shards); the default spans all global devices (for lockstep training
+    where every process participates in one program)."""
+    devices = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))

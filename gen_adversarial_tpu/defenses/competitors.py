@@ -81,8 +81,10 @@ def trades_inner_l2(model_fn, key, x_natural, epsilon: float,
         log_p_adv = jax.nn.log_softmax(model_fn(normalization_function(adv)), axis=1)
         return -kl_div_sum(log_p_adv, p_nat)  # minimize -KL == maximize KL
 
-    delta = 0.001 * jax.random.normal(key, x_natural.shape, x_natural.dtype)
-    keys = jax.random.split(key, perturb_steps)
+    ks = jax.random.split(key, perturb_steps + 1)  # no key reuse: one for
+    delta = 0.001 * jax.random.normal(ks[0], x_natural.shape,  # the init,
+                                      x_natural.dtype)  # one per PGD step
+    keys = ks[1:]
     for i in range(perturb_steps):
         g = jax.grad(kl_loss)(delta)
         norms = jnp.sqrt(jnp.sum(g.reshape(b, -1) ** 2, axis=1))

@@ -16,6 +16,12 @@ from jax import lax
 def eot_wrap(defense, eot_steps: int = 32, chunk: int | None = None):
     """defense: callable(key, x) -> logits.  Returns net(key, x) -> mean
     logits over eot_steps draws."""
+    if chunk is not None:
+        if chunk >= eot_steps:
+            chunk = None  # chunking <= one chunk's worth of steps is a no-op
+        elif eot_steps % chunk:
+            raise ValueError(f"eot_steps={eot_steps} is not divisible by "
+                             f"chunk={chunk}")
 
     def net(key, x):
         keys = jax.random.split(key, eot_steps)

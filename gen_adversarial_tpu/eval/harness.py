@@ -91,10 +91,17 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
     mesh = None
     if n_devices is not None and n_devices > 1:
         from gen_adversarial_tpu.core.mesh import make_mesh, batch_sharding, replicated
-        mesh = make_mesh(n_devices)
+        # each process runs its own dataset shard independently, so the
+        # mesh must be built from this process's ADDRESSABLE devices (a
+        # global mesh would hand non-zero processes remote devices)
+        mesh = make_mesh(n_devices, local=pcount > 1)
         assert batch_size % n_devices == 0, (batch_size, n_devices)
 
-    attack_names = [a for a in ("deepfool", "c&w", "autoattack")
+    known_attacks = ("deepfool", "c&w", "autoattack")
+    if attack_filter is not None and attack_filter not in known_attacks:
+        raise ValueError(f"unknown attack_filter {attack_filter!r}; "
+                         f"expected one of {known_attacks}")
+    attack_names = [a for a in known_attacks
                     if attack_filter is None or a == attack_filter]
 
     from gen_adversarial_tpu.defenses.eot import eot_wrap
@@ -108,6 +115,9 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
     jit_attacks = {
         name: jax.jit(partial(_run_attack, loaded.attacks[name]))
         for name in attack_names}
+    # the qualitative-dump purify (weights as an argument like everything
+    # else; eagerly it would run the full purifier op-by-op per dump)
+    jit_purified = jax.jit(lambda d, k, x: d.get_purified(k, x))
 
     @jax.jit
     def clean_preds(d, key, x):
@@ -173,7 +183,7 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
             # reference's rank-0 `idx % 5 == 0` loop (test_defense.py:202-237)
             dump_idx = [i for i in range(b) if (n_seen + i) % 5 == 0]
             if plots and dump_idx:
-                purified = np.clip(np.asarray(loaded.get_purified(k_pur, adv)), 0, 1)
+                purified = np.clip(np.asarray(jit_purified(defense, k_pur, adv)), 0, 1)
                 adv_np, x_np = np.asarray(adv), np.asarray(x)
                 for i in dump_idx:
                     save_example_plot(

@@ -32,6 +32,11 @@ def _random_resized_crop(key, img, scale=(0.75, 1.0), ratio=(3 / 4, 4 / 3)):
     # sample the crop on a fixed (h, w) grid of fractional coordinates
     ys = y0 + (jnp.arange(h) + 0.5) * ch / h - 0.5
     xs = x0 + (jnp.arange(w) + 0.5) * cw / w - 0.5
+    # clamp source coords like torch's area_pixel_compute_source_index:
+    # border samples replicate the edge pixel instead of extrapolating
+    # (unclamped fractions would push values outside [0,1] at the border)
+    ys = jnp.clip(ys, 0.0, h - 1.0)
+    xs = jnp.clip(xs, 0.0, w - 1.0)
     ylo = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
     yhi = jnp.clip(ylo + 1, 0, h - 1)
     xlo = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
@@ -55,7 +60,7 @@ def _equalize_channel(chan):
 
 
 def _augment_one(key, img):
-    kf, kc, kb1, kb2, kc2, ke1, ke2, kg = jax.random.split(key, 8)
+    kf, kc, kb1, kc2, ke1, kg = jax.random.split(key, 6)
     # horizontal flip p=0.5
     img = jnp.where(jax.random.bernoulli(kf), img[:, ::-1], img)
     img = _random_resized_crop(kc, img)

@@ -135,7 +135,11 @@ def generate_fgsm_dataset(classifier_fn, dataset, l2_bound: float,
                            jnp.asarray(batch["label"]))
         adv = np.asarray(adv)
         for img in adv:
-            rel = dataset.files[idx].parent.name + "/" + dataset.files[idx].name
+            f = dataset.files[idx]
+            # always .png: saving under a .jpg source name would re-encode
+            # lossily and destroy the L2-bounded perturbation (the reference
+            # also writes PNGs, generate_fgsm_data.py:71-77)
+            rel = f.parent.name + "/" + f.with_suffix(".png").name
             path = os.path.join(out_dir, rel)
             os.makedirs(os.path.dirname(path), exist_ok=True)
             Image.fromarray((img * 255).astype(np.uint8)).save(path)

@@ -27,16 +27,18 @@ def test_train_step_decreases_loss_on_8_device_mesh():
     assert len(jax.devices()) == 8
     mesh = make_mesh(8)
     model = VGG11BN(n_classes=4, plan=TINY_PLAN)
-    state = create_train_state(model, jax.random.PRNGKey(0), 32, lr=0.05)
+    state = create_train_state(model, jax.random.PRNGKey(0), 32, lr=0.01)
     batch = _synthetic_batch()
     state, batch = shard_state_and_batch(mesh, state, batch)
     key = jax.random.PRNGKey(1)
     losses = []
-    for i in range(12):
+    for i in range(40):
         key, sub = jax.random.split(key)
         state, loss = train_step(state, batch, sub)
         losses.append(float(loss))
-    assert losses[-1] < losses[0], losses
+    # per-step losses are noisy under the random augmentations; the TREND
+    # must be down (averages are robust to the augment key stream)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
     # sharded batch really is distributed
     assert len(batch["image"].sharding.device_set) == 8
 
