@@ -32,7 +32,8 @@ def cw_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
               early_stopping_steps: int = 16):
     b = images.shape[0]
     bdims = (-1,) + (1,) * (images.ndim - 1)
-    res = float(np.log2(images.shape[1]))  # H of (B,H,W,C)
+    res = float(np.log2(images.shape[2]))  # W of (B,H,W,C): the reference
+    # derives res from image.shape[-1] = W in NCHW (untargeted.py:380)
     init_bound = float(2.0 ** (res - 5))
     noise_norm = float(2.0 ** (res - 8))
 

@@ -12,20 +12,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gen_adversarial_tpu.attacks.utils import l2_norm
-
-
-def _class_grads(net, key, x, class_idx):
-    """Per-sample gradients of logits[b, class_idx[b, k]] for each k.
-
-    class_idx: (B, K) -> returns logits (B, C) and grads (K, B, ...).
-    One forward + linearization, K transposed applications (vmapped).
-    """
-    logits, vjp_fn = jax.vjp(lambda x_: net(key, x_), x)
-    n_classes = logits.shape[1]
-    cotangents = jax.nn.one_hot(class_idx.T, n_classes, dtype=logits.dtype)  # (K,B,C)
-    grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)  # (K,B,...)
-    return logits, grads
+from gen_adversarial_tpu.attacks.utils import l2_norm, class_grads as _class_grads
 
 
 def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
@@ -50,9 +37,19 @@ def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarra
         return (c["i"] < max_iter) & jnp.any(c["active"])
 
     def body(c):
-        key, k1, k2 = jax.random.split(c["key"], 3)
+        key, k1 = jax.random.split(c["key"])
         pert_image = images + (1.0 + overshoot) * c["r_tot"]
         fs, grads = _class_grads(net, k1, pert_image, order)  # (B,C), (K,B,...)
+
+        # the SAME forward serves as the previous step's exit test and this
+        # step's linearization (the reference's retain_graph coupling,
+        # untargeted.py:557-560: fs at the stepped image yields k_i AND the
+        # next iteration's gradients).  The first iteration always steps
+        # (reference inits k_i = label before the loop).
+        k_i_cur = jnp.argmax(fs, axis=1)
+        tested = c["i"] > 0
+        k_i = jnp.where(tested & c["active"], k_i_cur, c["k_i"])
+        active = c["active"] & jnp.where(tested, k_i_cur == label, True)
 
         grad_orig = grads[0]
         f_sel = jnp.take_along_axis(fs, order, axis=1)  # (B, K)
@@ -68,18 +65,18 @@ def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarra
 
         r_i = (pert.reshape(bdims) + 1e-4) * w / jnp.maximum(
             l2_norm(w, keepdims=True), 1e-30)
-        r_tot = jnp.where(c["active"].reshape(bdims), c["r_tot"] + r_i, c["r_tot"])
-
-        new_pert_image = images + (1.0 + overshoot) * r_tot
-        k_i_new = jnp.argmax(net(k2, new_pert_image), axis=1)
-        k_i = jnp.where(c["active"], k_i_new, c["k_i"])
-        active = c["active"] & (k_i == label)
+        r_tot = jnp.where(active.reshape(bdims), c["r_tot"] + r_i, c["r_tot"])
         return dict(i=c["i"] + 1, r_tot=r_tot, k_i=k_i, active=active, key=key)
 
     out = lax.while_loop(cond, body, carry)
 
     pert_image = images + (1.0 + overshoot) * out["r_tot"]
-    failed = out["k_i"] == labels  # never crossed the boundary
+    # samples still active at loop exit took a final step whose post-step
+    # forward has not run yet (in the reference it runs at the body's end)
+    kfin, _ = jax.random.split(out["key"])
+    k_i = jnp.where(out["active"],
+                    jnp.argmax(net(kfin, pert_image), axis=1), out["k_i"])
+    failed = k_i == labels  # never crossed the boundary
     success = ~failed
     bound = jnp.where(failed, jnp.inf, l2_norm((1.0 + overshoot) * out["r_tot"]))
     adv = jnp.where(failed.reshape(bdims), images, pert_image)

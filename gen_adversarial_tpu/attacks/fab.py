@@ -13,25 +13,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gen_adversarial_tpu.attacks.utils import l2_norm, projection_l2
-
-
-def _all_class_grads(net, key, x):
-    """logits (B,C) and per-class per-sample grads (C,B,...)."""
-    logits, vjp_fn = jax.vjp(lambda x_: net(key, x_), x)
-    n_classes = logits.shape[1]
-    eye = jnp.eye(n_classes, dtype=logits.dtype)
-    b = logits.shape[0]
-    cotangents = jnp.broadcast_to(eye[:, None, :], (n_classes, b, n_classes))
-    grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
-    return logits, grads
+from gen_adversarial_tpu.attacks.utils import (
+    l2_norm, projection_l2, class_grads as _all_class_grads)
 
 
 def fab_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                n_iter: int = 128, alpha_max: float = 0.1, eta: float = 1.05,
                beta: float = 0.9):
     b = images.shape[0]
-    d = int(images[0].size)
     bdims = (-1,) + (1,) * (images.ndim - 1)
     k0, kloop = jax.random.split(key)
 

@@ -12,16 +12,19 @@ from gen_adversarial_tpu.attacks.utils import normalize
 def fgsm_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                 l2_bound: float):
     """Batched FGSM.  net(key, x) -> logits."""
-    k0, k1, k2 = jax.random.split(key, 3)
-    logits0 = net(k0, images)
-    already_wrong = jnp.argmax(logits0, -1) != labels
+    k0, k2 = jax.random.split(key)
 
     def neg_ce(x):
-        logits = net(k1, x)
+        # ONE stochastic forward provides both the already-wrong check and
+        # the gradient (the reference backprops through the same h_adv it
+        # tests, untargeted.py:728-741) - a separate draw could mask a
+        # sample the gradient draw still classifies correctly
+        logits = net(k0, x)
         loss = -optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-        return jnp.sum(loss)
+        return jnp.sum(loss), logits
 
-    grad = jax.grad(neg_ce)(images)
+    (_, logits0), grad = jax.value_and_grad(neg_ce, has_aux=True)(images)
+    already_wrong = jnp.argmax(logits0, -1) != labels
     pert = normalize(jnp.sign(grad))
     x_adv = jnp.clip(images - pert * l2_bound, 0.0, 1.0)
 

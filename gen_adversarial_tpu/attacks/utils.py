@@ -3,8 +3,34 @@ operates on batch-1 tensors; everything here carries an explicit batch dim)."""
 
 import math
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def class_grads(net, key, x, class_idx=None):
+    """Per-sample gradients of selected logits from ONE forward.
+
+    The reference's per-class `backward(retain_graph=True)` loops
+    (DeepFool untargeted.py:529-545, FAB get_diff_logits_grads:605-635)
+    become one jax.vjp linearization applied to one-hot cotangents - same
+    forward randomness for every class gradient, exactly like the retained
+    torch graph.
+
+    class_idx: (B, K) class selectors, or None for all C classes.
+    Returns logits (B, C) and grads (K, B, ...) (K = C when None).
+    """
+    logits, vjp_fn = jax.vjp(lambda x_: net(key, x_), x)
+    n_classes = logits.shape[1]
+    if class_idx is None:
+        eye = jnp.eye(n_classes, dtype=logits.dtype)
+        cotangents = jnp.broadcast_to(
+            eye[:, None, :], (n_classes, logits.shape[0], n_classes))
+    else:
+        cotangents = jax.nn.one_hot(class_idx.T, n_classes,
+                                    dtype=logits.dtype)  # (K, B, C)
+    grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
+    return logits, grads
 
 
 def l2_norm(x: jnp.ndarray, keepdims: bool = False) -> jnp.ndarray:

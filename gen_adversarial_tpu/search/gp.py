@@ -24,16 +24,26 @@ def matern52(x1, x2, lengthscales, outputscale):
 
 
 def _unpack(params):
+    # noise floor 1e-4 like gpytorch's GaussianLikelihood constraint
+    # (GreaterThan(1e-4)) the reference's botorch SingleTaskGP relies on:
+    # float32 Cholesky of a near-duplicate-row kernel goes silently NaN
+    # below that (botorch additionally runs in float64)
     return (jax.nn.softplus(params["raw_ls"]) + 1e-4,
             jax.nn.softplus(params["raw_os"]) + 1e-4,
-            jax.nn.softplus(params["raw_noise"]) + 1e-6,
+            jax.nn.softplus(params["raw_noise"]) + 1e-4,
             params["mean"])
+
+
+def _kernel_with_jitter(x, ls, os_, noise):
+    n = x.shape[0]
+    # jitter scales with the signal variance (kernel diag = outputscale)
+    return matern52(x, x, ls, os_) + (noise + 1e-6 * os_) * jnp.eye(n)
 
 
 def neg_mll(params, x, y):
     ls, os_, noise, mean = _unpack(params)
     n = x.shape[0]
-    k = matern52(x, x, ls, os_) + noise * jnp.eye(n)
+    k = _kernel_with_jitter(x, ls, os_, noise)
     chol = jnp.linalg.cholesky(k)
     resid = y - mean
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
@@ -55,14 +65,21 @@ def fit_gp(x: jnp.ndarray, y: jnp.ndarray, steps: int = 200, lr: float = 0.05):
         updates, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, updates), opt, loss
 
+    import numpy as np
+    good = params
     for _ in range(steps):
         params, opt, loss = step(params, opt)
+        if not np.isfinite(float(loss)):
+            return good  # revert to the last finite iterate (float32
+            # Cholesky can NaN without raising; a NaN fit would silently
+            # corrupt every subsequent BO proposal)
+        good = params
     return params
 
 
 def gp_posterior(params, x_train, y_train, x_test):
     ls, os_, noise, mean = _unpack(params)
-    k = matern52(x_train, x_train, ls, os_) + noise * jnp.eye(x_train.shape[0])
+    k = _kernel_with_jitter(x_train, ls, os_, noise)
     chol = jnp.linalg.cholesky(k)
     k_star = matern52(x_test, x_train, ls, os_)
     alpha = jax.scipy.linalg.cho_solve((chol, True), y_train - mean)
