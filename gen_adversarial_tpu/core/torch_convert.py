@@ -212,7 +212,7 @@ def convert_nvae(sd: dict, cfg) -> dict:
     for s_ in range(cfg.num_scales):
         for g in range(gps[s_]):
             params[f"enc_sampler_{s_}_{g}"] = take_conv(sd, f"enc_sampler.sampler_{s_}:{g}")
-            if cfg.num_nf_cells:
+            if cfg.num_nf_cells:  # 0 => empty NF Sequentials, nothing to map
                 # flax flattens list-valued submodules into the parent name:
                 # nf_cells dict key '{s}_{g}' + list index i -> 'nf_cells_{s}_{g}_{i}'
                 stack = _nf_stack(sd, f"nf_cells.nf_{s_}:{g}", cfg.num_nf_cells)

@@ -21,6 +21,8 @@ import numpy as np
 from flax import linen as nn
 from jax import lax
 
+from gen_adversarial_tpu.models.stylegan2.layers import pixel_norm
+
 
 def _lrelu(x):
     return jax.nn.leaky_relu(x, 0.2)
@@ -273,7 +275,6 @@ class StyledGenerator(nn.Module):
         self.style_layers = [AEqualLinear(512) for _ in range(4)]
 
     def style_fn(self, z):
-        from gen_adversarial_tpu.models.stylegan2.layers import pixel_norm
         z = pixel_norm(z)
         for layer in self.style_layers:
             z = _lrelu(layer(z))

@@ -224,8 +224,11 @@ class DecCombinerCell(nn.Module):
 
 def make_ar_mask(kh: int, kw: int, mirror: bool, zero_diag: bool) -> np.ndarray:
     """Autoregressive kernel mask (architecture.py:9-28): flatten the kernel
-    taps, keep the first half (+center if not zero_diag), optionally
-    mirrored.  Returned as (kh, kw) float."""
+    taps, keep the first half - INCLUDING the center tap exactly when
+    zero_diag=True (`half = (kh*kw)//2 + int(zero_diag)`, the reference's
+    own inverted-looking quirk at architecture.py:13; do NOT "fix" it, every
+    NF-equipped checkpoint depends on it) - optionally mirrored.  Returned
+    as (kh, kw) float."""
     mask = np.ones((kh * kw,), np.float32)
     half = (kh * kw) // 2 + int(zero_diag)
     mask[half:] = 0

@@ -142,7 +142,7 @@ class NVAE(nn.Module):
             for g in range(gps[s]):
                 enc_sampler[f"{s}_{g}"] = nn.Conv(
                     2 * cfg.num_latent_per_group, (3, 3), padding=1)
-                if cfg.num_nf_cells:
+                if cfg.num_nf_cells is not None:
                     nf[f"{s}_{g}"] = [NFBlock(cfg.num_latent_per_group)
                                       for _ in range(cfg.num_nf_cells)]
                 if not (s == 0 and g == 0):
@@ -217,7 +217,7 @@ class NVAE(nn.Module):
         return feats, x
 
     def _apply_nf(self, s, g, z):
-        if self.cfg.num_nf_cells:
+        if self.cfg.num_nf_cells is not None:
             for block in self.nf_cells[f"{s}_{g}"]:
                 z = block(z)
         return z
@@ -263,7 +263,7 @@ class NVAE(nn.Module):
         dist_enc = Normal(mu_q, log_sig_q)
         z_0, _ = dist_enc.sample(next(keys))
         dist_dec = Normal(jnp.zeros_like(mu_q), jnp.zeros_like(log_sig_q))
-        if cfg.num_nf_cells:
+        if cfg.num_nf_cells is not None:
             log_enc = dist_enc.log_p(z_0)
             z_0 = self._apply_nf(0, 0, z_0)
             kl_0 = log_enc - dist_dec.log_p(z_0)
@@ -278,7 +278,7 @@ class NVAE(nn.Module):
             dist_enc = Normal(mu_p + mu_q, log_sig_p + log_sig_q)
             z_i, _ = dist_enc.sample(next(keys))
             dist_dec = Normal(mu_p, log_sig_p)
-            if cfg.num_nf_cells:
+            if cfg.num_nf_cells is not None:
                 log_enc = dist_enc.log_p(z_i)
                 z_i = self._apply_nf(s, g, z_i)
                 kl_i = log_enc - dist_dec.log_p(z_i)

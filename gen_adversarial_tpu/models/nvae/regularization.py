@@ -28,19 +28,28 @@ def _conv_matrices(params) -> dict:
     return {shape: jnp.stack(ws) for shape, ws in groups.items()}
 
 
-def init_sr_state(params, key) -> dict:
+def init_sr_state(params, key, num_power_iter: int = 4) -> dict:
     """Initialize left/right singular-vector estimates (normalized gaussian,
-    model.py:404-417)."""
+    model.py:404-417), then warm them up with 10x the per-step power
+    iterations exactly like the reference does the first time a weight
+    shape is seen (model.py:418-421: `num_iter = 10 * self.num_power_iter`
+    when the shape is not yet in sr_u) - without it the first training
+    steps regularize a badly under-converged sigma estimate."""
     state = {}
     for shape, w in _conv_matrices(params).items():
         n, r, c = w.shape
         key, k1, k2 = jax.random.split(key, 3)
         u = jax.random.normal(k1, (n, r))
         v = jax.random.normal(k2, (n, c))
-        state[shape] = {
-            "u": u / jnp.maximum(jnp.linalg.norm(u, axis=1, keepdims=True), 1e-3),
-            "v": v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-3),
-        }
+        u = u / jnp.maximum(jnp.linalg.norm(u, axis=1, keepdims=True), 1e-3)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-3)
+        w_sg = jax.lax.stop_gradient(w)
+        for _ in range(10 * num_power_iter - num_power_iter):
+            v = jnp.einsum("nr,nrc->nc", u, w_sg)
+            v = v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-3)
+            u = jnp.einsum("nrc,nc->nr", w_sg, v)
+            u = u / jnp.maximum(jnp.linalg.norm(u, axis=1, keepdims=True), 1e-3)
+        state[shape] = {"u": u, "v": v}
     return state
 
 

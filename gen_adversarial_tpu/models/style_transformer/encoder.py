@@ -53,12 +53,12 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, tgt, memory):
         d = tgt.shape[-1]
         t2 = TorchMHA(self.num_heads, name="self_attn")(tgt, tgt, tgt)
-        tgt = nn.LayerNorm(name="norm1")(tgt + t2)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + t2)
         t2 = TorchMHA(self.num_heads, name="multihead_attn")(tgt, memory, memory)
-        tgt = nn.LayerNorm(name="norm2")(tgt + t2)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + t2)
         t2 = nn.Dense(self.dim_feedforward, name="linear1")(tgt)
         t2 = nn.Dense(d, name="linear2")(nn.relu(t2))
-        return nn.LayerNorm(name="norm3")(tgt + t2)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + t2)
 
 
 class GradualStyleEncoder(nn.Module):

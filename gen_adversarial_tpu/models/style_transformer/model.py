@@ -3,6 +3,7 @@
 SerezD/gen_adversarial; note the reference's DataParallel `.module`
 indirection bugs are not replicated, see SURVEY.md 7)."""
 
+import math
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -20,7 +21,6 @@ class StyleTransformer(nn.Module):
 
     @property
     def n_styles(self):
-        import math
         return int(math.log2(self.output_size)) * 2 - 2
 
     def setup(self):

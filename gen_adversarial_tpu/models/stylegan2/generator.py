@@ -112,11 +112,14 @@ class Generator(nn.Module):
         if noise is None:
             if randomize_noise:
                 if noise_key is None:
-                    noise = [None] * self.num_layers  # NoiseInjection no-op
-                    keys = [None] * self.num_layers
-                else:
-                    keys = list(jax.random.split(noise_key, self.num_layers))
-                    noise = [None] * self.num_layers
+                    # the torch default draws fresh noise implicitly; here
+                    # randomness is explicit, and silently disabling noise
+                    # injection would quietly diverge from the reference
+                    raise ValueError(
+                        "randomize_noise=True requires noise_key (pass "
+                        "randomize_noise=False to use the stored buffers)")
+                keys = list(jax.random.split(noise_key, self.num_layers))
+                noise = [None] * self.num_layers
             else:
                 noise = [v.value for v in self.noises]
                 keys = [None] * self.num_layers
