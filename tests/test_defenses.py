@@ -138,3 +138,27 @@ def test_classifier_defense():
     logits = d(None, x)
     assert logits.shape == (2, 4)
     np.testing.assert_array_equal(np.asarray(d.get_purified(None, x)), np.asarray(x))
+
+
+def test_eot_chunk_validation():
+    """chunk >= eot_steps degrades to unchunked; a non-divisor raises."""
+    w, apply = _linear_classifier()
+    d = GaussianNoiseDefense(w, apply, eps=1.0)
+    x = jnp.full((1, 8, 8, 3), 0.5)
+    key = jax.random.PRNGKey(0)
+    out = eot_wrap(d, eot_steps=1, chunk=8)(key, x)  # factory's forced-1 case
+    assert out.shape == (1, 4)
+    with pytest.raises(ValueError):
+        eot_wrap(d, eot_steps=32, chunk=5)(key, x)
+
+
+def test_eot_chunk_validation():
+    """chunk >= eot_steps degrades to unchunked; a non-divisor raises."""
+    w, apply = _linear_classifier()
+    d = GaussianNoiseDefense(w, apply, eps=1.0)
+    x = jnp.full((1, 8, 8, 3), 0.5)
+    key = jax.random.PRNGKey(0)
+    out = eot_wrap(d, eot_steps=1, chunk=8)(key, x)  # factory's forced-1 case
+    assert out.shape == (1, 4)
+    with pytest.raises(ValueError):
+        eot_wrap(d, eot_steps=32, chunk=5)(key, x)

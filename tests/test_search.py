@@ -59,3 +59,35 @@ def test_bayesian_optimize_improves():
     overall_best = accs.max()
     assert overall_best >= seed_best  # BO never loses the seeds
     assert overall_best > 0.5  # found a decent optimum on this easy bowl
+
+
+def test_gp_fit_survives_near_duplicate_rows():
+    """float32 Cholesky must not silently NaN the fit when BO proposes
+    near-duplicate candidates (noise floor + jitter + finite-loss guard)."""
+    import numpy as np
+    from gen_adversarial_tpu.search.gp import fit_gp, gp_posterior
+    rng = np.random.RandomState(0)
+    xs = np.vstack([rng.rand(7, 5), rng.rand(1, 5)]).astype(np.float32)
+    xs[-1] = xs[-2] + 1e-7
+    ys = rng.rand(8).astype(np.float32)
+    params = fit_gp(jnp.asarray(xs), jnp.asarray(ys))
+    mu, var = gp_posterior(params, jnp.asarray(xs), jnp.asarray(ys),
+                           jnp.asarray(xs[:3]))
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.isfinite(np.asarray(var)))
+
+
+def test_gp_fit_survives_near_duplicate_rows():
+    """float32 Cholesky must not silently NaN the fit when BO proposes
+    near-duplicate candidates (noise floor + jitter + finite-loss guard)."""
+    import numpy as np
+    from gen_adversarial_tpu.search.gp import fit_gp, gp_posterior
+    rng = np.random.RandomState(0)
+    xs = np.vstack([rng.rand(7, 5), rng.rand(1, 5)]).astype(np.float32)
+    xs[-1] = xs[-2] + 1e-7
+    ys = rng.rand(8).astype(np.float32)
+    params = fit_gp(jnp.asarray(xs), jnp.asarray(ys))
+    mu, var = gp_posterior(params, jnp.asarray(xs), jnp.asarray(ys),
+                           jnp.asarray(xs[:3]))
+    assert np.all(np.isfinite(np.asarray(mu)))
+    assert np.all(np.isfinite(np.asarray(var)))

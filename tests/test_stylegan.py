@@ -157,3 +157,33 @@ def test_discriminator_converted_parity():
         jax.tree.map(jnp.asarray, variables),
         jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3, atol=2e-4)
+
+
+def test_randomize_noise_requires_key():
+    """randomize_noise=True without a key must raise, not silently disable
+    noise injection (the torch default draws implicitly)."""
+    import pytest
+    from gen_adversarial_tpu.models.stylegan2.generator import Generator
+    gen = Generator(32, 64, 2)
+    z = jnp.zeros((1, 64))
+    v = gen.init(jax.random.PRNGKey(0), [z], randomize_noise=False)
+    with pytest.raises(ValueError, match="noise_key"):
+        gen.apply(v, [z], randomize_noise=True)
+    img, _ = gen.apply(v, [z], randomize_noise=True,
+                       noise_key=jax.random.PRNGKey(1))
+    assert img.shape[1] == 32
+
+
+def test_randomize_noise_requires_key():
+    """randomize_noise=True without a key must raise, not silently disable
+    noise injection (the torch default draws implicitly)."""
+    import pytest
+    from gen_adversarial_tpu.models.stylegan2.generator import Generator
+    gen = Generator(32, 64, 2)
+    z = jnp.zeros((1, 64))
+    v = gen.init(jax.random.PRNGKey(0), [z], randomize_noise=False)
+    with pytest.raises(ValueError, match="noise_key"):
+        gen.apply(v, [z], randomize_noise=True)
+    img, _ = gen.apply(v, [z], randomize_noise=True,
+                       noise_key=jax.random.PRNGKey(1))
+    assert img.shape[1] == 32
