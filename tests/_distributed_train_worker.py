@@ -1,7 +1,7 @@
 """Worker for tests/test_distributed.py: one of N processes in a
 jax.distributed CPU run of the classifier trainer (fit(distributed=True)).
 
-argv: coordinator_port process_id num_processes data_dir out_npz
+argv: coordinator_port process_id num_processes data_dir out_npz [n_local_devices]
 """
 
 import sys
@@ -12,7 +12,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_num_cpu_devices",
+                  int(sys.argv[6]) if len(sys.argv) > 6 else 1)
 
 import numpy as np
 

@@ -188,3 +188,61 @@ def test_two_process_trades_cli_matches_single_process(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
                                    err_msg=k)
+
+
+def test_two_process_two_device_training_matches_four_device(tmp_path):
+    """The real pod shape: 2 processes x 2 local devices each (process-major
+    4-device global mesh) must reproduce the single-process 4-device
+    trajectory.  Exercises make_array_from_process_local_data with local
+    slices spanning MULTIPLE shards per process, which the 1-device-per-
+    process tests never hit."""
+    from PIL import Image
+
+    data_dir = tmp_path / "data"
+    rng = np.random.RandomState(11)
+    for split, n in (("train", 8), ("validation", 5)):
+        for c in range(2):
+            d = data_dir / split / f"cls{c}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = (rng.rand(32, 32, 3) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+    # single-process 4-device reference trajectory (also exercises the
+    # ragged 5-image validation tail: pad 3 on a 4-device mesh)
+    import gen_adversarial_tpu.train.classifier as tc
+    from gen_adversarial_tpu.models.classifiers import VGG11BN
+    TINY = (4, "M", 8, "M", 8, 8, "M", 8, 8, "M", 8, 8, "M")
+    orig = tc.make_classifier
+    tc.make_classifier = lambda t, n: VGG11BN(n_classes=n, plan=TINY)
+    try:
+        from gen_adversarial_tpu.data.datasets import ImageLabelDataset
+        tds = ImageLabelDataset(str(data_dir / "train"), 32)
+        vds = ImageLabelDataset(str(data_dir / "validation"), 32)
+        state, history = tc.fit("vgg", 2, 32, tds, vds, epochs=1, lr=1e-3,
+                                batch_size=4, seed=7, n_devices=4,
+                                log_fn=lambda s: None)
+    finally:
+        tc.make_classifier = orig
+    want = {jax.tree_util.keystr(k): np.asarray(v)
+            for k, v in jax.tree_util.tree_leaves_with_path(
+                jax.device_get(state.params))}
+
+    port = _free_port()
+    out_npz = tmp_path / "params_2x2.npz"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/_distributed_train_worker.py", str(port),
+             str(pid), "2", str(data_dir), str(out_npz), "2"],
+            cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    got = np.load(out_npz)
+    assert set(got.files) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
+                                   err_msg=k)
