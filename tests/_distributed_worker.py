@@ -2,6 +2,7 @@
 jax.distributed CPU run of the eval harness.
 
 argv: coordinator_port process_id num_processes data_dir config_yaml results_dir
+      [n_local_devices] [n_mesh_devices]
 """
 
 import sys
@@ -12,11 +13,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 1)
+jax.config.update("jax_num_cpu_devices",
+                  int(sys.argv[7]) if len(sys.argv) > 7 else 1)
 
 
 def main():
     port, pid, pcount, data_dir, config, results_dir = sys.argv[1:7]
+    n_devices = int(sys.argv[8]) if len(sys.argv) > 8 else None
     from gen_adversarial_tpu.core.distributed import maybe_initialize
     ok = maybe_initialize(coordinator_address=f"localhost:{port}",
                           num_processes=int(pcount), process_id=int(pid))
@@ -31,7 +34,8 @@ def main():
     loaded = factory.load_defense(config)
     results = run_benchmark(loaded, data_dir, results_dir, batch_size=2,
                             attack_filter="deepfool", plots=False,
-                            log_fn=lambda s: None, distributed=True)
+                            log_fn=lambda s: None, distributed=True,
+                            n_devices=n_devices)
     print(f"[worker {pid}] clean={results['Clean']:.4f} "
           f"n={len(results['DeepFool'])}", flush=True)
 

@@ -246,3 +246,37 @@ def test_two_process_two_device_training_matches_four_device(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=2e-3, atol=1e-4,
                                    err_msg=k)
+
+
+def test_two_process_eval_with_local_mesh(tiny_world):  # noqa: F811
+    """Distributed eval sharding BATCHES over each process's LOCAL devices
+    (2 procs x 2 local devices, --distributed --n-devices 2): a global mesh
+    would hand process 1 non-addressable devices and crash device_put; the
+    results must equal the single-process run."""
+    data_dir, ckpt, tmp = tiny_world
+    config = tmp / "no_defense_ids.yaml"
+    config.write_text(f"classifier_path: {ckpt}\n")
+
+    from gen_adversarial_tpu.eval.factory import load_defense
+    from gen_adversarial_tpu.eval.harness import run_benchmark
+    loaded = load_defense(str(config))
+    single = run_benchmark(loaded, str(data_dir), str(tmp / "res_1p"),
+                           batch_size=2, attack_filter="deepfool",
+                           plots=False, log_fn=lambda s: None)
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "tests/_distributed_worker.py", str(port),
+             str(pid), "2", str(data_dir), str(config),
+             str(tmp / "res_2p_mesh"), "2", "2"],
+            cwd="/root/repo", stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+
+    two = json.loads((tmp / "res_2p_mesh" / "results.json").read_text())
+    assert two["Clean"] == pytest.approx(single["Clean"])
+    assert sorted(two["DeepFool"]) == pytest.approx(sorted(single["DeepFool"]))
