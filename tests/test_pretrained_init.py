@@ -72,21 +72,33 @@ def test_resnet50_backbone_structure_matches_init():
 
 
 def test_finetune_from_pretrained_beats_scratch():
+    import optax
+    from gen_adversarial_tpu.train.augment import eval_normalize
+
     model = VGG11BN(n_classes=4, plan=TINY_PLAN)
     batch = _synthetic_batch(n=32, size=32)
     batch = jax.tree.map(jnp.asarray, batch)
 
+    def eval_ce(state):
+        """Deterministic eval-mode cross-entropy (per-step train losses are
+        too noisy under the random augmentations to compare single draws)."""
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            eval_normalize(batch["image"]), train=False)
+        return float(optax.softmax_cross_entropy_with_integer_labels(
+            logits, batch["label"]).mean())
+
     # "pretrain" a backbone on the task to get useful features
-    donor = create_train_state(model, jax.random.PRNGKey(0), 32, lr=0.05)
+    donor = create_train_state(model, jax.random.PRNGKey(0), 32, lr=0.01)
     key = jax.random.PRNGKey(1)
-    for _ in range(15):
+    for _ in range(40):
         key, sub = jax.random.split(key)
         donor, _ = train_step(donor, batch, sub)
 
     # two independent-buffer copies of the same fresh init: train_step
     # donates its input state, so the two runs must not share leaves
-    fresh = create_train_state(model, jax.random.PRNGKey(7), 32, lr=0.05)
-    fresh2 = create_train_state(model, jax.random.PRNGKey(7), 32, lr=0.05)
+    fresh = create_train_state(model, jax.random.PRNGKey(7), 32, lr=0.01)
+    fresh2 = create_train_state(model, jax.random.PRNGKey(7), 32, lr=0.01)
     pre_params = dict(fresh2.params)
     pre_stats = dict(fresh2.batch_stats)
     for k in donor.params:
@@ -100,10 +112,9 @@ def test_finetune_from_pretrained_beats_scratch():
         k = jax.random.PRNGKey(seed)
         for _ in range(steps):
             k, sub = jax.random.split(k)
-            state, loss = train_step(state, batch, sub)
-        c, n = eval_step(state, batch)
-        return float(loss), int(c) / int(n)
+            state, _ = train_step(state, batch, sub)
+        return eval_ce(state)
 
-    loss_p, acc_p = run(pretrained)
-    loss_s, acc_s = run(fresh)
-    assert (acc_p, -loss_p) > (acc_s, -loss_s), (acc_p, acc_s, loss_p, loss_s)
+    ce_p = run(pretrained)
+    ce_s = run(fresh)
+    assert ce_p < ce_s, (ce_p, ce_s)
