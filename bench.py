@@ -273,6 +273,35 @@ def bench_deepfool(dtype: str):
     }
 
 
+def bench_fab(dtype: str):
+    """FAB per-iteration throughput through the EoT-32 flagship defense.
+    FAB takes gradients of ALL C logits per iteration (C=100 cotangents on
+    the ids task - the heaviest backward in the AutoAttack ensemble;
+    production budget 128 iters, load_defense.py:48-52)."""
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+    from gen_adversarial_tpu.attacks.fab import fab_attack
+
+    defense = _flagship_attack_defense(dtype)
+    BATCH, N_ITER = (2 if dtype == "bfloat16" else 1), 4
+
+    def make_step():
+        @jax.jit
+        def step(x, y, key):
+            net = eot_wrap(defense, eot_steps=EOT, chunk=8)
+            succ, bound, adv = fab_attack(key, net, x, y, n_iter=N_ITER)
+            return jnp.sum(jnp.where(jnp.isfinite(bound), bound, 0.0)) \
+                + jnp.sum(adv)
+        return step
+
+    return {
+        "metric": "fab_eot32_nvae_defense_image_iters_per_sec_per_chip",
+        "value": round(_attack_step_bench(make_step, BATCH, N_ITER), 2),
+        "unit": "img*iter/s", "dtype": dtype,
+        "config": f"FAB 100-class jacobian, {N_ITER} iters, EoT-32, "
+                  f"ids flagship, batch {BATCH}",
+    }
+
+
 def _synth_mlvgm_defense(task: str):
     """Real-scale gender (E4E/1024px + resnet50) and cars (Style-Transformer
     512px + resnext50) defenses with synthesized weights (throughput is
@@ -350,6 +379,7 @@ BENCHES = {
     "apgd_f32": lambda: bench_apgd("float32"),
     "cw_bf16": lambda: bench_cw("bfloat16"),
     "deepfool_bf16": lambda: bench_deepfool("bfloat16"),
+    "fab_bf16": lambda: bench_fab("bfloat16"),
     "gender_f32": lambda: bench_task("gender", "float32"),
     "gender_bf16": lambda: bench_task("gender", "bfloat16"),
     "cars_f32": lambda: bench_task("cars", "float32"),
