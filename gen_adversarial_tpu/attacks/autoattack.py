@@ -54,3 +54,53 @@ def autoattack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
     res = _update_result(res, fab_attack(keys[6], net, images, labels,
                                          n_iter=128, alpha_max=0.1, eta=1.05, beta=0.9))
     return res
+
+
+def make_staged_autoattack(n_classes: int, make_net):
+    """Host-gated staged ensemble: bit-identical results to `autoattack`
+    (same key splits, same gating), but each stage is its own jitted
+    program so (a) escalation stages whose gate is all-False are SKIPPED
+    entirely - the reference's skip-if-successful chain at whole-launch
+    granularity (untargeted.py:287-301 runs the higher bound only per
+    unsolved image) - and (b) ONE compiled APGD program serves all bounds
+    of a loss type (max_bound enters traced), cutting ensemble compile
+    time from 7 programs to 3.
+
+    make_net(defense) -> net(key, x) -> logits (the EoT wrapper).
+    Returns run(defense, key, images, labels) -> (success, bound, adv).
+    """
+    from functools import partial as _partial
+
+    import numpy as np
+
+    @_partial(jax.jit, static_argnames=("ce",))
+    def apgd_stage(d, key, x, y, bound, ce):
+        return apgd_attack(key, make_net(d), x, y, 64, 0.75, bound, ce)
+
+    @jax.jit
+    def fab_stage(d, key, x, y):
+        return fab_attack(key, make_net(d), x, y, n_iter=128, alpha_max=0.1,
+                          eta=1.05, beta=0.9)
+
+    def run(d, key, images, labels):
+        keys = jax.random.split(key, 8)
+
+        def chain(ce: bool, key_offset: int, bounds):
+            res = apgd_stage(d, keys[key_offset], images, labels,
+                             bounds[0], ce)
+            for i, bound in enumerate(bounds[1:], start=key_offset + 1):
+                gate = ~res[0]
+                if not bool(np.asarray(gate).any()):
+                    continue  # whole stage solved: skip the launch
+                res = _update_result(
+                    res, apgd_stage(d, keys[i], images, labels, bound, ce),
+                    gate)
+            return res
+
+        res = chain(True, 0, (0.5, 1.0, 4.0))
+        if n_classes > 3:
+            res = _update_result(res, chain(False, 3, (0.5, 2.0, 4.0)))
+        res = _update_result(res, fab_stage(d, keys[6], images, labels))
+        return res
+
+    return run

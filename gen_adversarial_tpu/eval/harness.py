@@ -13,6 +13,7 @@ SerezD/gen_adversarial), redesigned TPU-first:
 """
 
 import json
+import os
 import time
 from functools import partial
 from pathlib import Path
@@ -115,6 +116,16 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
     jit_attacks = {
         name: jax.jit(partial(_run_attack, loaded.attacks[name]))
         for name in attack_names}
+    if "autoattack" in attack_names and os.environ.get(
+            "GAT_STAGED_AA", "1") != "0":
+        # host-gated staged ensemble: identical results, 3 compiled
+        # programs instead of 7, and escalation stages are skipped
+        # outright once every sample in the batch has succumbed
+        from gen_adversarial_tpu.attacks.autoattack import make_staged_autoattack
+        n_cls = loaded.attacks["autoattack"].keywords["n_classes"]
+        jit_attacks["autoattack"] = make_staged_autoattack(
+            n_cls, lambda d: eot_wrap(d, loaded.eot_steps,
+                                      chunk=loaded.eot_chunk))
     # the qualitative-dump purify (weights as an argument like everything
     # else; eagerly it would run the full purifier op-by-op per dump)
     jit_purified = jax.jit(lambda d, k, x: d.get_purified(k, x))

@@ -231,3 +231,26 @@ def test_attacks_with_stochastic_net():
     s2, b2, _ = deepfool_attack(jax.random.PRNGKey(6), noisy_net, jnp.asarray(x),
                                 jnp.asarray(y), num_classes=N_CLASSES, max_iter=20)
     assert b2.shape == (1,)
+
+
+def test_staged_autoattack_matches_monolithic():
+    """The host-gated staged ensemble (per-stage jit + whole-stage skip +
+    traced bound) must produce BIT-IDENTICAL results to the monolithic
+    autoattack on the same key."""
+    from gen_adversarial_tpu.attacks.autoattack import (
+        autoattack, make_staged_autoattack)
+
+    rng = np.random.RandomState(3)
+    W = jnp.asarray(rng.randn(8 * 8 * 3, 5).astype(np.float32))
+    net = lambda key, x: x.reshape(x.shape[0], -1) @ W
+    x = jnp.asarray(rng.rand(4, 8, 8, 3).astype(np.float32))
+    y = jnp.asarray(rng.randint(0, 5, 4))
+    key = jax.random.PRNGKey(9)
+
+    mono = jax.jit(lambda k: autoattack(k, net, x, y, n_classes=5))(key)
+    staged = make_staged_autoattack(5, lambda d: net)(None, key, x, y)
+    np.testing.assert_array_equal(np.asarray(mono[0]), np.asarray(staged[0]))
+    np.testing.assert_allclose(np.asarray(mono[1]), np.asarray(staged[1]),
+                               rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(mono[2]), np.asarray(staged[2]),
+                               rtol=0, atol=0)
