@@ -114,7 +114,22 @@ def cw_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                         rolling_mean=rolling_mean, rolling_updates=rolling_updates,
                         prev_succeed=prev_succeed, best_adv=best_adv, best_l2=best_l2)
 
-        state = lax.fori_loop(0, steps, body, state)
+        # while_loop instead of a fixed fori_loop: once every sample has
+        # early-stopped the body is a pure identity (all updates are masked
+        # by `active`), so exiting is result-identical and realizes the
+        # reference's per-image `break` (untargeted.py:428-439) at batch
+        # granularity - the production budget is 1024 steps and early stop
+        # usually fires within tens.
+        def while_cond(i_s):
+            i, s = i_s
+            return (i < steps) & jnp.any(s["active"])
+
+        def while_body(i_s):
+            i, s = i_s
+            return i + 1, body(i, s)
+
+        _, state = lax.while_loop(while_cond, while_body,
+                                  (jnp.zeros((), jnp.int32), state))
 
         # restart epilogue: evaluate, adapt c (untargeted.py:448-465)
         best_adv, best_l2 = state["best_adv"], state["best_l2"]
