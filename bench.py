@@ -67,7 +67,12 @@ def _timed(step, args, iters: int, per_iter_images: int):
 
 
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
-                   eot_chunk: int | None = None):
+                   eot_chunk: int | None = None, mesh=None):
+    """`mesh`: optional 1-D data mesh - the defense is replicated and the
+    batch axis sharded over it (`batch` is then the GLOBAL batch and must
+    divide by the mesh size); XLA runs the same program per chip with no
+    cross-chip collectives (the eval is embarrassingly parallel over
+    images, like the reference's DistributedSampler split)."""
     from gen_adversarial_tpu.defenses.eot import eot_wrap
 
     @jax.jit
@@ -75,6 +80,11 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
         return jnp.sum(eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)(key, x))
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3), jnp.float32)
+    if mesh is not None:
+        from gen_adversarial_tpu.core.mesh import batch_sharding, replicated
+        assert batch % mesh.size == 0, (batch, mesh.size)
+        defense = jax.device_put(defense, replicated(mesh))
+        x = jax.device_put(x, batch_sharding(mesh))
     float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
     return _timed(step, (defense, x), iters, batch)
 
@@ -98,6 +108,33 @@ def bench_flagship(dtype: str):
         "unit": "img/s", "dtype": dtype,
         "config": f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
                   f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""),
+    }
+
+
+def bench_flagship_dp(dtype: str):
+    """Data-parallel flagship forward over EVERY attached device: per-chip
+    batch at the single-chip peak, global batch = per-chip x n_devices.
+    Converts the 'near-linear DP scaling' claim (BASELINE.md) into a
+    measured curve whenever a multi-chip slice is attached; on one device
+    it degenerates to the single-chip bench (reported as such)."""
+    from __graft_entry__ import _flagship
+    from gen_adversarial_tpu.core.mesh import make_mesh
+
+    n = len(jax.devices())
+    defense = _flagship()
+    if dtype == "bfloat16":
+        from gen_adversarial_tpu.core.precision import defense_astype
+        defense = defense_astype(defense)
+    per_chip, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
+    mesh = make_mesh()
+    value = _forward_bench(defense, batch=per_chip * n, size=64,
+                           eot_chunk=chunk, mesh=mesh)
+    return {
+        "metric": "eot32_nvae_defense_images_per_sec_dp_all_chips",
+        "value": round(value, 2), "unit": "img/s", "dtype": dtype,
+        "n_devices": n, "per_chip": round(value / n, 2),
+        "config": f"ids flagship DP over {n} device(s), "
+                  f"global batch {per_chip * n}",
     }
 
 
@@ -375,6 +412,7 @@ def bench_task(task: str, dtype: str):
 BENCHES = {
     "flagship_bf16": lambda: bench_flagship("bfloat16"),
     "flagship_f32": lambda: bench_flagship("float32"),
+    "flagship_bf16_dp": lambda: bench_flagship_dp("bfloat16"),
     "apgd_bf16": lambda: bench_apgd("bfloat16"),
     "apgd_f32": lambda: bench_apgd("float32"),
     "cw_bf16": lambda: bench_cw("bfloat16"),
@@ -435,6 +473,8 @@ def main():
     if MODE == "all":
         results = {}
         for name, fn in BENCHES.items():
+            if name == "flagship_bf16_dp" and len(jax.devices()) < 2:
+                continue  # degenerates to flagship_bf16 on one chip
             try:
                 results[name] = fn()
             except Exception as e:  # report partial coverage, never crash

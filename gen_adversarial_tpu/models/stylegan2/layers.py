@@ -46,6 +46,13 @@ def _norm1d(k) -> np.ndarray:
 # depthwise lowering stops being channel-bound - hence the spatial gate.
 _PALLAS_BLUR = os.environ.get("GAT_PALLAS_BLUR", "1") != "0"
 _PALLAS_BLUR_MAX_H = 96
+# Experimental HBM-traffic knob for the high-res blur sites: the separable
+# path costs two depthwise-conv HBM round trips (2R+2W); routing blurs at
+# H >= GAT_BLUR_2D_MIN_H through ONE dense 2-D depthwise conv halves the
+# traffic (1R+1W) at 2x the taps - a win only where the op is
+# bandwidth-bound.  Off by default until the end-to-end gender bench says
+# otherwise (the phase-upsample study showed isolated timings mislead here).
+_BLUR_2D_MIN_H = int(os.environ.get("GAT_BLUR_2D_MIN_H", "0")) or 10 ** 9
 
 
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):
@@ -58,6 +65,8 @@ def blur(x, kernel_1d, pad, upsample_factor: int = 1):
             and jax.default_backend() == "tpu"):
         from gen_adversarial_tpu.ops.pallas_upfirdn import pallas_blur_diff
         return pallas_blur_diff(x, k.astype(x.dtype), tuple(pad))
+    if x.shape[1] >= _BLUR_2D_MIN_H:
+        return upfirdn2d(x, jnp.outer(k, k), up=1, down=1, pad=pad)
     return upfirdn2d(x, k, up=1, down=1, pad=pad)
 
 
@@ -71,6 +80,9 @@ def upsample_fir(x, kernel_1d, factor: int = 2):
     p = len(kernel_1d) - factor
     pad0 = (p + 1) // 2 + factor - 1
     pad1 = p // 2
+    if x.shape[1] >= _BLUR_2D_MIN_H:
+        return upfirdn2d(x, jnp.outer(k1, k1), up=factor, down=1,
+                         pad=(pad0, pad1))
     return upfirdn2d(x, k1, up=factor, down=1, pad=(pad0, pad1))
 
 
@@ -80,6 +92,9 @@ def downsample_fir(x, kernel_1d, factor: int = 2):
     p = len(kernel_1d) - factor
     pad0 = (p + 1) // 2
     pad1 = p // 2
+    if x.shape[1] >= _BLUR_2D_MIN_H:
+        return upfirdn2d(x, jnp.outer(k1, k1), up=1, down=factor,
+                         pad=(pad0, pad1))
     return upfirdn2d(x, k1, up=1, down=factor, pad=(pad0, pad1))
 
 
