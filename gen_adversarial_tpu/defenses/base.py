@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from gen_adversarial_tpu.ops.blur import gaussian_blur2d
+from gen_adversarial_tpu.ops.image import clamp01
 
 
 def blur_kernel_size(h: int) -> int:
@@ -34,7 +35,7 @@ def add_l2_gaussian_noise(key, x, eps: float):
     noise = jax.random.normal(key, x.shape, x.dtype)
     axes = tuple(range(1, x.ndim))
     norm = jnp.sqrt(jnp.sum(noise ** 2, axis=axes, keepdims=True))
-    return jnp.clip(x + noise * (eps / norm), 0.0, 1.0)
+    return clamp01(x + noise * (eps / norm))
 
 
 @struct.dataclass
@@ -95,6 +96,12 @@ class MLVGMDefense:
             x = gaussian_blur2d(x, blur_kernel_size(self.image_size), 1.0)
         if self.initial_noise_eps > 0:
             x = add_l2_gaussian_noise(key, x, self.initial_noise_eps)
+        else:
+            # the reference applies add_gaussian_noise UNCONDITIONALLY
+            # (abstract_models.py:174): at eps=0 it degenerates to
+            # clamp(0,1), which still changes the forward and its gradient
+            # on out-of-box attack iterates (DeepFool's are unclamped)
+            x = clamp01(x)
         return x
 
     def purified(self, key, x):

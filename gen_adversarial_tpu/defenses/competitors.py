@@ -48,8 +48,8 @@ class NDVaeDefense:
 
     def get_purified(self, key, x):
         k1, k2 = jax.random.split(key)
-        x = jnp.clip(x + jax.random.normal(k1, x.shape, x.dtype) * self.noise_std,
-                     0.0, 1.0)
+        from gen_adversarial_tpu.ops.image import clamp01
+        x = clamp01(x + jax.random.normal(k1, x.shape, x.dtype) * self.noise_std)
         return self.model.apply(self.variables, x, k2,
                                 method=DefenceNVAE.purify)
 

@@ -277,7 +277,8 @@ class DefenceNVAE(nn.Module):
         """Returns (mixture logits, log_q, log_p, kl_all list) on [0,1] inputs."""
         cfg = self
         keys = iter(jax.random.split(key, cfg.scales + 2))
-        x = jnp.clip(x, 0.0, 1.0) * 2.0 - 1.0
+        from gen_adversarial_tpu.ops.image import clamp01
+        x = clamp01(x) * 2.0 - 1.0  # torch-clamp tie gradient (NVAE.py:699)
         x = self.stem(x)
         for cell in self.pre_cells:
             x = cell(x, train)

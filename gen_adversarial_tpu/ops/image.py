@@ -13,6 +13,20 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def clamp01(x: jnp.ndarray) -> jnp.ndarray:
+    """[0,1] clamp with torch's gradient convention.
+
+    torch.clamp's backward passes the cotangent on the INCLUSIVE in-range
+    mask (1.0 at x==0 and x==1), while jnp.clip's min/max composition gives
+    0.5 at exact ties.  PNG-decoded pixels sit exactly at 0.0/1.0 en masse,
+    and attacks differentiate through every defense-side clamp
+    (abstract_models.py:141-143, nd_vae/purification_model.py:21,
+    nd_vae NVAE.py:699 in SerezD/gen_adversarial), so the tie gradient is
+    accuracy-relevant for attack-trajectory parity."""
+    return jnp.where((x >= 0.0) & (x <= 1.0), x,
+                     lax.stop_gradient(jnp.clip(x, 0.0, 1.0)))
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w", "align_corners", "antialias"))
 def resize_bilinear(x: jnp.ndarray, out_h: int, out_w: int,
                     align_corners: bool = False, antialias: bool = False) -> jnp.ndarray:

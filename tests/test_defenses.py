@@ -162,3 +162,36 @@ def test_eot_chunk_validation():
     assert out.shape == (1, 4)
     with pytest.raises(ValueError):
         eot_wrap(d, eot_steps=32, chunk=5)(key, x)
+
+
+def test_clamp01_matches_torch_gradient():
+    """The defense-side clamp must use torch.clamp's INCLUSIVE pass-through
+    gradient (1.0 at exact 0/1 ties, where PNG pixels sit en masse);
+    jnp.clip would give 0.5 there (ops/image.py clamp01)."""
+    import torch
+    from gen_adversarial_tpu.ops.image import clamp01
+
+    vals = [-0.5, 0.0, 0.25, 1.0, 1.5]
+    g = jax.grad(lambda x: jnp.sum(clamp01(x)))(jnp.asarray(vals))
+    xt = torch.tensor(vals, requires_grad=True)
+    torch.clamp(xt, 0.0, 1.0).sum().backward()
+    np.testing.assert_array_equal(np.asarray(g), xt.grad.numpy())
+    np.testing.assert_array_equal(
+        np.asarray(clamp01(jnp.asarray(vals))),
+        torch.clamp(torch.tensor(vals), 0.0, 1.0).numpy())
+
+
+def test_mlvgm_preprocess_clamps_at_eps0():
+    """abstract_models.py:174 applies add_gaussian_noise unconditionally:
+    at eps=0 it degenerates to clamp(0,1), which must still apply to
+    out-of-box attack iterates."""
+    from gen_adversarial_tpu.defenses.base import MLVGMDefense
+
+    d = MLVGMDefense(
+        purify_variables=None, classifier_variables=None,
+        alphas=jnp.zeros(1), purify_apply=lambda *a: None,
+        classifier_apply=lambda *a: None, image_size=8,
+        initial_noise_eps=0.0, normalize_before_purify=False)
+    x = jnp.asarray([[-0.2, 0.0, 0.5, 1.0, 1.3]])
+    out = d.preprocess(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(out), [[0.0, 0.0, 0.5, 1.0, 1.0]])
