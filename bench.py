@@ -67,17 +67,44 @@ def _timed(step, args, iters: int, per_iter_images: int):
 
 
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
-                   eot_chunk: int | None = None, mesh=None):
+                   eot_chunk: int | None = None, mesh=None,
+                   scan_steps: int = 8):
     """`mesh`: optional 1-D data mesh - the defense is replicated and the
     batch axis sharded over it (`batch` is then the GLOBAL batch and must
     divide by the mesh size); XLA runs the same program per chip with no
     cross-chip collectives (the eval is embarrassingly parallel over
-    images, like the reference's DistributedSampler split)."""
+    images, like the reference's DistributedSampler split).
+
+    `scan_steps`: EoT-forward steps run INSIDE one jitted program
+    (lax.scan over rotated keys).  The host<->device tunnel costs a large,
+    VARIABLE fixed latency per fetch (0.2-0.9s observed 2026-08-18), which
+    swamps small-batch steps and made the gender numbers irreproducible
+    (0.24 vs 4.02 img/s minutes apart).  Production amortizes exactly the
+    same way: the eval harness compiles a whole attack (hundreds of EoT
+    forwards) into one program per fetch, so in-program throughput is the
+    production-representative metric.  With scan_steps=8 the gender point
+    reproduces within +-0.5% across trials.
+
+    The steps are UNROLLED (a Python loop inside one jit), not lax.scan:
+    XLA holds a while-loop body at ~2x peak HBM and rematerializes under
+    that pressure, which cost 30-50% measured throughput at every flagship
+    operating point (b32/40/44 all plateaued at ~29 img/s scanned vs 57 at
+    the unscanned b96 peak).  An accumulator alone does NOT serialize the
+    unrolled forwards (the scheduler interleaves them and still OOMs), so
+    each step's input carries a data dependency on the previous step's
+    scalar (x + acc*1e-38: numerically subnormal-zero, structurally
+    unremovable) — peak HBM stays at the single-forward profile."""
     from gen_adversarial_tpu.defenses.eot import eot_wrap
 
     @jax.jit
     def step(defense, x, key):
-        return jnp.sum(eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)(key, x))
+        net = eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)
+        keys = jax.random.split(key, scan_steps)
+        acc = jnp.float32(0.0)
+        for i in range(scan_steps):
+            xi = x + (acc * jnp.float32(1e-38)).astype(x.dtype)
+            acc = acc + jnp.mean(net(keys[i], xi).astype(jnp.float32))
+        return acc
 
     x = jnp.asarray(np.random.RandomState(0).rand(batch, size, size, 3), jnp.float32)
     if mesh is not None:
@@ -86,7 +113,7 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
         defense = jax.device_put(defense, replicated(mesh))
         x = jax.device_put(x, batch_sharding(mesh))
     float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
-    return _timed(step, (defense, x), iters, batch)
+    return _timed(step, (defense, x), iters, batch * scan_steps)
 
 
 def bench_flagship(dtype: str):
@@ -390,11 +417,11 @@ def bench_task(task: str, dtype: str):
     # is the measured peak from tools/tune_bench.py sweeps; bf16 halves
     # activation memory so it sustains larger batches before OOM (cars f32
     # fails at batch 8, bf16 peaks at 16 -> 13.09 img/s).
-    # gender batch 1 chunk 8: sweep gave bf16 {b1c4: 1.35, b1c8: 3.60,
-    # b2c8: 3.23, b4c4: 3.13} - the 8-wide chunk fills the chip; larger
-    # batches only add memory pressure at 1024^2.
+    # gender batch 1 chunk 16 (unrolled-step sweep 2026-08-18: c8 3.36,
+    # c16 4.05 img/s; the 16-wide chunk fills the chip at 1024^2, larger
+    # batches only add memory pressure).
     if task == "gender":
-        batch, chunk = 1, 8
+        batch, chunk = 1, 16
     else:
         batch, chunk = (16 if dtype == "bfloat16" else 4), 8
     size = defense.image_size
@@ -496,7 +523,8 @@ def main():
             out["vs_baseline"] = round(head["value"] / BASELINE_A100_IMG_S, 2)
         else:
             out["vs_baseline"] = None  # anchor exists for the headline only
-    if out.get("value") is not None:
+    if (out.get("value") is not None
+            and not os.environ.get("GAT_BENCH_NO_LAST_GOOD")):
         try:
             with open(LAST_GOOD, "w") as f:
                 json.dump(dict(out, measured_at=time.strftime("%Y-%m-%d %H:%M"),

@@ -29,13 +29,15 @@ run() {  # run <name> <timeout_s> <cmd...>
   local name=$1 t=$2; shift 2
   echo "=== $name ($(date -u +%H:%M:%SZ)) ==="
   timeout "$t" "$@" 2>&1 | tee "$LOG/$name.log" | tail -3
-  echo "=== $name done rc=$? ==="
+  echo "=== $name done rc=${PIPESTATUS[0]} ==="  # rc of the command, not tail
 }
 
 # 1. Full measured matrix incl. first cw_bf16 / deepfool_bf16 / fab_bf16
 #    numbers and the apgd re-measure on a quiet host; refreshes
-#    BENCH_LAST_GOOD.json with provenance.
-run bench_all 3600 env GAT_BENCH=all python bench.py
+#    BENCH_LAST_GOOD.json with provenance.  Per-mode subprocesses with
+#    per-mode timeouts (one GAT_BENCH=all process lost everything to the
+#    outer timeout on 2026-08-18 — see tools/bench_each.py).
+run bench_all 14400 python tools/bench_each.py
 
 # 2. Gender eot-chunk-16 point (queued sweep extension; current peak is
 #    b1 chunk-8 = 3.53 img/s bf16).

@@ -49,6 +49,8 @@ def main():
     p.add_argument("--batches", default="8,16")
     p.add_argument("--chunks", default="none",
                    help="comma list; 'none' = unchunked EoT vmap")
+    p.add_argument("--scan", default="8",
+                   help="comma list of scan_steps (1 = no scan)")
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
@@ -61,21 +63,30 @@ def main():
         for b in (int(x) for x in args.batches.split(",")):
             for ch in args.chunks.split(","):
                 chunk = None if ch == "none" else int(ch)
-                try:
-                    v = bench._forward_bench(defense, batch=b, size=size,
-                                             iters=args.iters, eot_chunk=chunk)
-                    rows.append((dtype, b, ch, f"{v:.2f}"))
-                except Exception as e:
-                    kind = ("oom" if "RESOURCE_EXHAUSTED" in str(e)
-                            else f"{type(e).__name__}")
-                    rows.append((dtype, b, ch, kind))
-                print(f"{args.task:9s} {rows[-1][0]:9s} batch={rows[-1][1]:<3} "
-                      f"chunk={rows[-1][2]:4s} -> {rows[-1][3]} img/s",
-                      flush=True)
+                for sc in (int(x) for x in args.scan.split(",")):
+                    try:
+                        v = bench._forward_bench(defense, batch=b, size=size,
+                                                 iters=args.iters,
+                                                 eot_chunk=chunk,
+                                                 scan_steps=sc)
+                        rows.append((dtype, b, ch, sc, f"{v:.2f}"))
+                    except Exception as e:
+                        # HBM exhaustion surfaces two ways on this backend:
+                        # RESOURCE_EXHAUSTED at alloc, or an INTERNAL
+                        # remote-compile 500 whose text carries the
+                        # "Total hbm usage" breakdown.
+                        kind = ("oom" if ("RESOURCE_EXHAUSTED" in str(e)
+                                          or "hbm usage" in str(e))
+                                else f"{type(e).__name__}")
+                        rows.append((dtype, b, ch, sc, kind))
+                    print(f"{args.task:9s} {rows[-1][0]:9s} "
+                          f"batch={rows[-1][1]:<3} chunk={rows[-1][2]:4s} "
+                          f"scan={rows[-1][3]:<2} -> {rows[-1][4]} img/s",
+                          flush=True)
 
-    print("\ndtype     batch chunk img/s")
-    for d, b, ch, v in rows:
-        print(f"{d:9s} {b:<5} {ch:5s} {v}")
+    print("\ndtype     batch chunk scan img/s")
+    for d, b, ch, sc, v in rows:
+        print(f"{d:9s} {b:<5} {ch:5s} {sc:<4} {v}")
 
 
 if __name__ == "__main__":
