@@ -36,6 +36,9 @@ def main():
                         "default saves nothing")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--no-plots", action="store_true")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore any per-batch progress checkpoint "
+                        "(progress_p*.json) and restart the eval from image 0")
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard each batch over a local data-parallel mesh")
     p.add_argument("--distributed", action="store_true",
@@ -60,7 +63,7 @@ def main():
                   batch_size=args.batch_size, seed=args.seed,
                   attack_filter=args.attack, max_images=args.max_images,
                   plots=not args.no_plots, n_devices=args.n_devices,
-                  distributed=distributed)
+                  distributed=distributed, resume=not args.no_resume)
 
 
 if __name__ == "__main__":

@@ -68,8 +68,19 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
                   attack_filter: str | None = None, max_images: int | None = None,
                   plots: bool = True, log_fn=print,
                   n_devices: int | None = None,
-                  distributed: bool = False) -> dict:
+                  distributed: bool = False,
+                  resume: bool = True) -> dict:
     """Full benchmark over a folder dataset; returns and writes results.json.
+
+    With resume=True (default), per-batch progress is checkpointed to
+    results_folder/progress_p<pid>.json after every completed batch and a
+    re-run with the same setup continues from the first unfinished batch
+    with an IDENTICAL PRNG stream (skipped batches replay their key splits),
+    so a crash mid-eval (a full AutoAttack batch is minutes-to-hours of TPU
+    time) costs at most one batch.  This extends the reference's
+    attack-level results.json merge semantics (test_defense.py:259-264) to
+    batch granularity; the finished run removes the progress file and merges
+    into results.json exactly as before.
 
     With n_devices > 1, the image batch is sharded over a data-parallel mesh
     and the defense replicated - the TPU equivalent of the reference's
@@ -149,6 +160,30 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         max_images = len(range(pid, max_images, pcount))
     plots = plots and pid == 0
 
+    # per-batch progress checkpoint: anything that changes the batch
+    # decomposition or the key stream invalidates it
+    progress_path = results_folder / f"progress_p{pid}.json"
+    fingerprint = {"seed": seed, "batch_size": batch_size,
+                   "attacks": list(attack_names), "max_images": max_images,
+                   "pid": pid, "pcount": pcount, "n_images": len(dataset),
+                   "eot_steps": loaded.eot_steps}
+    resume_n_seen = 0
+    if resume and progress_path.exists():
+        try:
+            prog = json.loads(progress_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            prog = None
+        if prog and prog.get("fingerprint") == fingerprint:
+            resume_n_seen = int(prog["n_seen"])
+            clean_correct = list(prog["clean_correct"])
+            distortions = {n: list(prog["distortions"][n])
+                           for n in attack_names}
+            log_fn(f"[resume] continuing from image {resume_n_seen} "
+                   f"({progress_path.name})")
+        elif prog is not None:
+            log_fn("[resume] progress file does not match this run's setup; "
+                   "restarting from scratch")
+
     for batch in iterate_batches(dataset, batch_size, drop_last=False,
                                  shard=(pid, pcount)):
         if max_images is not None and n_seen >= max_images:
@@ -158,6 +193,15 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
         if max_images is not None and n_seen + x.shape[0] > max_images:
             x = x[: max_images - n_seen]
             y = y[: max_images - n_seen]
+        if n_seen + x.shape[0] <= resume_n_seen:
+            # batch already checkpointed: replay its key splits (one for
+            # clean preds + one 3-way per attack) so the PRNG stream - and
+            # therefore every result - is identical to an uninterrupted run
+            key, _ = jax.random.split(key)
+            for _name in attack_names:
+                key, _ka, _kp = jax.random.split(key, 3)
+            n_seen += x.shape[0]
+            continue
         # pad ragged (last) batches back to batch_size: keeps ONE compiled
         # program per attack (no retrace on the tail) and keeps the batch
         # divisible by the mesh - a ragged tail would otherwise silently
@@ -202,6 +246,15 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
                         x_np[i], adv_np[i], purified[i],
                         bool(succ[i]), float(bound[i]))
         n_seen += b
+        if resume:
+            tmp = progress_path.with_suffix(".tmp")
+            tmp.parent.mkdir(parents=True, exist_ok=True)
+            tmp.write_text(json.dumps(
+                {"fingerprint": fingerprint, "n_seen": n_seen,
+                 "clean_correct": clean_correct, "distortions": distortions}))
+            os.replace(tmp, progress_path)  # atomic: never a torn checkpoint
+
+    progress_path.unlink(missing_ok=True)  # run completed (or stale file)
 
     if pcount > 1:
         clean_correct = allgather_lists(clean_correct, pcount)

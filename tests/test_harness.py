@@ -150,3 +150,77 @@ def test_avae_full_conversion_parity():
 
     np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
                                rtol=2e-3, atol=2e-3)
+
+
+def test_benchmark_resume_after_crash(tiny_world):
+    """Per-batch progress checkpointing: a run killed mid-eval resumes from
+    the first unfinished batch and produces results EXACTLY equal to an
+    uninterrupted run (the skipped batches' PRNG splits are replayed, so on
+    a stochastic defense any stream drift would change the numbers)."""
+    from gen_adversarial_tpu.eval.factory import load_defense
+    from gen_adversarial_tpu.eval.harness import run_benchmark
+
+    data_dir, ckpt, tmp = tiny_world
+    config = tmp / "ablation_noise_ids.yaml"
+    config.write_text(f"classifier_path: {ckpt}\ntype: noise\n")
+    loaded = load_defense(str(config), eot_steps=2)
+
+    kw = dict(batch_size=2, max_images=6, attack_filter="deepfool",
+              plots=False)
+    want = run_benchmark(loaded, str(data_dir), str(tmp / "full"),
+                         log_fn=lambda s: None, **kw)
+
+    class Boom(RuntimeError):
+        pass
+
+    calls = {"n": 0}
+
+    def crashing_log(msg):
+        if msg.startswith("[deepfool]"):
+            calls["n"] += 1
+            if calls["n"] == 2:  # batch 0 checkpointed; die inside batch 1
+                raise Boom()
+
+    with pytest.raises(Boom):
+        run_benchmark(loaded, str(data_dir), str(tmp / "res"),
+                      log_fn=crashing_log, **kw)
+    assert (tmp / "res" / "progress_p0.json").exists()
+
+    logs = []
+    got = run_benchmark(loaded, str(data_dir), str(tmp / "res"),
+                        log_fn=logs.append, **kw)
+    assert any(l.startswith("[resume] continuing from image 2") for l in logs)
+    # only the two unfinished batches were recomputed
+    assert sum(l.startswith("[deepfool]") for l in logs) == 2
+    assert not (tmp / "res" / "progress_p0.json").exists()
+
+    assert got["Clean"] == want["Clean"]
+    assert got["DeepFool"] == want["DeepFool"]
+    full = json.loads((tmp / "full" / "results.json").read_text())
+    res = json.loads((tmp / "res" / "results.json").read_text())
+    assert full == res
+
+
+def test_benchmark_resume_rejects_mismatched_setup(tiny_world):
+    """A progress file from a different run setup (fingerprint mismatch)
+    is ignored, not silently merged."""
+    from gen_adversarial_tpu.eval.factory import load_defense
+    from gen_adversarial_tpu.eval.harness import run_benchmark
+
+    data_dir, ckpt, tmp = tiny_world
+    config = tmp / "no_defense_ids.yaml"
+    config.write_text(f"classifier_path: {ckpt}\n")
+    loaded = load_defense(str(config), eot_steps=2)
+
+    out = tmp / "mismatch"
+    out.mkdir()
+    (out / "progress_p0.json").write_text(json.dumps(
+        {"fingerprint": {"seed": 999}, "n_seen": 4,
+         "clean_correct": [True] * 4, "distortions": {"deepfool": [1.0] * 4}}))
+    logs = []
+    got = run_benchmark(loaded, str(data_dir), str(out), batch_size=2,
+                        max_images=4, attack_filter="deepfool", plots=False,
+                        log_fn=logs.append)
+    assert any("does not match" in l for l in logs)
+    assert len(got["DeepFool"]) == 4
+    assert sum(l.startswith("[deepfool]") for l in logs) == 2
