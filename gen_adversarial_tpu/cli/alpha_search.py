@@ -26,6 +26,9 @@ def main():
     p.add_argument("--results-folder", default="alpha_search_results")
     p.add_argument("--eot-steps", type=int, default=32)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore any per-evaluation search checkpoint "
+                        "(grid/bo_progress.json) and restart from scratch")
     args = p.parse_args()
 
     from gen_adversarial_tpu.core.config import N_LATENTS
@@ -63,10 +66,11 @@ def main():
     folder.mkdir(parents=True, exist_ok=True)
     if args.mode == "grid":
         grid_search(evaluator.objective_function, n_alphas, args.n_steps,
-                    results_folder=str(folder))
+                    results_folder=str(folder), resume=not args.no_resume)
     else:
         xs, accs = bayesian_optimize(evaluator.objective_function, n_alphas,
-                                     args.n_steps)
+                                     args.n_steps, results_folder=str(folder),
+                                     resume=not args.no_resume)
         np.save(folder / "alphas.npy", xs)
         np.save(folder / "accuracies.npy", accs)
         best = xs[accs[:, 0].argmax()]

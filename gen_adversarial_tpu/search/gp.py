@@ -140,11 +140,22 @@ def optimize_acqf(key, params, x_train, y_train, best_f, bounds,
 
 def bayesian_optimize(objective, n_alphas: int, n_steps: int,
                       seed_points: list | None = None, seed: int = 0,
-                      log_fn=print):
+                      log_fn=print, results_folder: str | None = None,
+                      resume: bool = True):
     """The full BO loop (bayesian_optimization.py:50-124): 5 seed schedules,
     GP refit + EI candidate each step; minimizes 1 - accuracy.  Returns
-    (all_alphas (N,D), all_accuracies (N,1))."""
+    (all_alphas (N,D), all_accuracies (N,1)).
+
+    With results_folder set, every evaluated point is checkpointed (in the
+    final alphas.npy/accuracies.npy format) and a re-run resumes after the
+    last evaluated point with an identical PRNG stream - each objective()
+    call is a full EoT epoch over the adversarial set, so a crashed search
+    keeps everything already paid for."""
+    from pathlib import Path
+
     from gen_adversarial_tpu.search.alphas import get_linear_alphas, get_cosine_alphas
+    from gen_adversarial_tpu.search.grid import (
+        load_search_progress, save_search_step)
 
     if seed_points is None:
         seed_points = [
@@ -154,16 +165,43 @@ def bayesian_optimize(objective, n_alphas: int, n_steps: int,
             [1 - a for a in get_linear_alphas(n_alphas)],
             [1 - a for a in get_cosine_alphas(n_alphas)],
         ]
-    xs = [np.asarray(p, np.float64) for p in seed_points]
-    ys = []
-    for p in xs:
+    n_seed = len(seed_points)
+    folder = Path(results_folder) if results_folder is not None else None
+    fingerprint = {"mode": "bo", "n_alphas": n_alphas, "n_steps": n_steps,
+                   "seed": seed, "n_seed": n_seed}
+    rows, acc_rows, done, marker = ([], [], 0, {}) if not resume else \
+        load_search_progress(folder, fingerprint, "bo_progress.json", log_fn)
+    if done and (len(marker.get("ys", [])) != done or not np.allclose(
+            np.stack(rows[:min(done, n_seed)]),
+            np.stack([np.asarray(p, np.float64)
+                      for p in seed_points[:min(done, n_seed)]]))):
+        log_fn("[resume] saved rows do not match this run's seed schedules; "
+               "restarting from scratch")
+        rows, acc_rows, done, marker = [], [], 0, {}
+    xs = [np.asarray(r, np.float64) for r in rows]
+    # ys come from the marker, not 1-accuracies: the json float round-trip
+    # is exact, so a resumed run's GP inputs are bit-identical
+    ys = [float(v) for v in marker.get("ys", [])]
+
+    def checkpoint():
+        if folder is not None:
+            save_search_step(folder, xs,
+                             (1.0 - np.asarray(ys))[:, None].tolist(),
+                             fingerprint, "bo_progress.json",
+                             extra={"ys": ys})
+
+    for p in [np.asarray(p, np.float64) for p in seed_points][done:n_seed]:
         acc = objective(p)
+        xs.append(p)
         ys.append(1.0 - acc)
         log_fn(f"[bo seed] acc {acc:.4f}")
+        checkpoint()
 
     key = jax.random.PRNGKey(seed)
     bounds = (jnp.zeros((n_alphas,)), jnp.ones((n_alphas,)))
-    for s in range(n_steps):
+    for s in range(max(0, done - n_seed)):
+        key, _ = jax.random.split(key)  # replay completed steps' stream
+    for s in range(max(0, done - n_seed), n_steps):
         x_train = jnp.asarray(np.stack(xs))
         y_train = jnp.asarray(np.asarray(ys))
         params = fit_gp(x_train, y_train)
@@ -175,5 +213,8 @@ def bayesian_optimize(objective, n_alphas: int, n_steps: int,
         ys.append(1.0 - acc)
         log_fn(f"[bo step {s}] EI {float(ei):.4f} acc {acc:.4f} "
                f"(best {1 - min(ys):.4f})")
+        checkpoint()
 
+    if folder is not None:
+        (folder / "bo_progress.json").unlink(missing_ok=True)
     return np.stack(xs), 1.0 - np.asarray(ys)[:, None]

@@ -2,28 +2,92 @@
 alpha_learning/grid_search.py: n_steps uniform-random vectors, save
 alphas.npy/accuracies.npy)."""
 
+import json
+import os
 from pathlib import Path
 
 import numpy as np
 
 
+def _atomic_npy(path: Path, arr: np.ndarray):
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
+def save_search_step(folder: Path, alphas, accuracies, fingerprint: dict,
+                     progress_name: str, extra: dict | None = None):
+    """Persist the search state after one objective evaluation: the final
+    alphas.npy/accuracies.npy format (partial), plus a progress marker.
+    Every objective call is a full EoT epoch over the adversarial set
+    (common_utils.py:81-103 in the reference), so losing evaluated rows to
+    a crash costs hours; the final filenames mean even a crashed search's
+    partial results are directly usable."""
+    folder.mkdir(parents=True, exist_ok=True)
+    _atomic_npy(folder / "alphas.npy", np.stack(alphas))
+    _atomic_npy(folder / "accuracies.npy", np.asarray(accuracies))
+    tmp = folder / (progress_name + ".tmp")
+    tmp.write_text(json.dumps(dict(extra or {}, fingerprint=fingerprint,
+                                   done=len(alphas))))
+    os.replace(tmp, folder / progress_name)
+
+
+def load_search_progress(folder: Path | None, fingerprint: dict,
+                         progress_name: str, log_fn):
+    """-> (alphas rows, accuracies rows, done, marker dict) or ([], [], 0, {})."""
+    if folder is None or not (folder / progress_name).exists():
+        return [], [], 0, {}
+    try:
+        meta = json.loads((folder / progress_name).read_text())
+        a = np.load(folder / "alphas.npy")
+        acc = np.load(folder / "accuracies.npy")
+    except (json.JSONDecodeError, OSError, ValueError):
+        return [], [], 0, {}
+    done = int(meta.get("done", 0))
+    if (meta.get("fingerprint") != fingerprint or a.shape[0] != done
+            or acc.shape[0] != done):
+        log_fn(f"[resume] {progress_name} does not match this run's setup; "
+               "restarting from scratch")
+        return [], [], 0, {}
+    log_fn(f"[resume] continuing at evaluation {done} ({progress_name})")
+    return list(a), [list(r) for r in np.atleast_2d(acc)], done, meta
+
+
 def grid_search(objective, n_alphas: int, n_steps: int, seed: int = 0,
-                results_folder: str | None = None, log_fn=print):
+                results_folder: str | None = None, log_fn=print,
+                resume: bool = True):
     rng = np.random.RandomState(seed)
-    alphas, accuracies = [], []
-    for s in range(n_steps):
+    folder = Path(results_folder) if results_folder is not None else None
+    fingerprint = {"mode": "grid", "n_alphas": n_alphas, "n_steps": n_steps,
+                   "seed": seed}
+    alphas, accuracies, done, _ = ([], [], 0, {}) if not resume else \
+        load_search_progress(folder, fingerprint, "grid_progress.json", log_fn)
+    if done:
+        # replay the RNG stream for the finished steps; if the saved rows
+        # disagree the checkpoint is from a different stream - restart
+        replay = [rng.uniform(0.0, 1.0, size=n_alphas) for _ in range(done)]
+        if not np.allclose(np.stack(replay), np.stack(alphas)):
+            log_fn("[resume] saved rows do not match the seed's RNG stream; "
+                   "restarting from scratch")
+            alphas, accuracies, done = [], [], 0
+            rng = np.random.RandomState(seed)
+    for s in range(done, n_steps):
         a = rng.uniform(0.0, 1.0, size=n_alphas)
         acc = objective(a)
         alphas.append(a)
         accuracies.append([acc])
         log_fn(f"[grid {s}] acc {acc:.4f}")
+        if folder is not None:
+            save_search_step(folder, alphas, accuracies, fingerprint,
+                             "grid_progress.json")
     alphas = np.stack(alphas)
     accuracies = np.asarray(accuracies)
-    if results_folder is not None:
-        folder = Path(results_folder)
+    if folder is not None:
         folder.mkdir(parents=True, exist_ok=True)
-        np.save(folder / "alphas.npy", alphas)
-        np.save(folder / "accuracies.npy", accuracies)
+        _atomic_npy(folder / "alphas.npy", alphas)
+        _atomic_npy(folder / "accuracies.npy", accuracies)
+        (folder / "grid_progress.json").unlink(missing_ok=True)
     return alphas, accuracies
 
 

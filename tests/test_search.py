@@ -1,6 +1,7 @@
 """Alpha-search tests: schedules, grid search, and the JAX-native GP/EI
 Bayesian optimization on a synthetic objective."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -91,3 +92,92 @@ def test_gp_fit_survives_near_duplicate_rows():
                            jnp.asarray(xs[:3]))
     assert np.all(np.isfinite(np.asarray(mu)))
     assert np.all(np.isfinite(np.asarray(var)))
+
+
+def test_grid_search_resume_after_crash(tmp_path):
+    """Killing a grid search mid-run and re-running continues at the next
+    step with an identical RNG stream: the union of results equals an
+    uninterrupted run's exactly, and completed steps are not re-evaluated."""
+    from gen_adversarial_tpu.search.grid import grid_search
+
+    def objective(a):
+        return float(1.0 - np.mean((np.asarray(a) - 0.3) ** 2))
+
+    want_a, want_acc = grid_search(objective, 3, 8, seed=5,
+                                   results_folder=str(tmp_path / "full"),
+                                   log_fn=lambda s: None)
+
+    calls = {"n": 0}
+
+    def crashing_objective(a):
+        calls["n"] += 1
+        if calls["n"] == 5:
+            raise RuntimeError("boom")
+        return objective(a)
+
+    out = tmp_path / "res"
+    with pytest.raises(RuntimeError):
+        grid_search(crashing_objective, 3, 8, seed=5,
+                    results_folder=str(out), log_fn=lambda s: None)
+    assert (out / "grid_progress.json").exists()
+    # partial results are already in the final format
+    assert np.load(out / "alphas.npy").shape == (4, 3)
+
+    logs, evals = [], {"n": 0}
+
+    def counting_objective(a):
+        evals["n"] += 1
+        return objective(a)
+
+    got_a, got_acc = grid_search(counting_objective, 3, 8, seed=5,
+                                 results_folder=str(out), log_fn=logs.append)
+    assert any(l.startswith("[resume] continuing at evaluation 4") for l in logs)
+    assert evals["n"] == 4  # only the unfinished steps ran
+    assert not (out / "grid_progress.json").exists()
+    np.testing.assert_array_equal(got_a, want_a)
+    np.testing.assert_array_equal(got_acc, want_acc)
+    np.testing.assert_array_equal(np.load(out / "alphas.npy"), want_a)
+
+
+def test_bayesian_optimize_resume_after_crash(tmp_path):
+    """BO resume: crash after the seeds + one step, re-run, exact equality
+    with the uninterrupted trajectory (GP inputs and key stream replayed)."""
+    from gen_adversarial_tpu.search.gp import bayesian_optimize
+
+    rng_target = np.full(4, 0.6)
+
+    def objective(a):
+        return float(1.0 - np.mean((np.asarray(a) - rng_target) ** 2))
+
+    want_x, want_acc = bayesian_optimize(
+        objective, n_alphas=4, n_steps=3, seed=2,
+        results_folder=str(tmp_path / "full"), log_fn=lambda s: None)
+    assert not (tmp_path / "full" / "bo_progress.json").exists()
+
+    calls = {"n": 0}
+
+    def crashing_objective(a):
+        calls["n"] += 1
+        if calls["n"] == 7:  # 5 seeds + 1 BO step done, die inside step 2
+            raise RuntimeError("boom")
+        return objective(a)
+
+    out = tmp_path / "res"
+    with pytest.raises(RuntimeError):
+        bayesian_optimize(crashing_objective, n_alphas=4, n_steps=3, seed=2,
+                          results_folder=str(out), log_fn=lambda s: None)
+    assert (out / "bo_progress.json").exists()
+
+    logs, evals = [], {"n": 0}
+
+    def counting_objective(a):
+        evals["n"] += 1
+        return objective(a)
+
+    got_x, got_acc = bayesian_optimize(
+        counting_objective, n_alphas=4, n_steps=3, seed=2,
+        results_folder=str(out), log_fn=logs.append)
+    assert any(l.startswith("[resume] continuing at evaluation 6") for l in logs)
+    assert evals["n"] == 2  # only the two unfinished BO steps ran
+    np.testing.assert_array_equal(got_x, want_x)
+    np.testing.assert_array_equal(got_acc, want_acc)
