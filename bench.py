@@ -28,6 +28,7 @@ BASELINE.md "Measured" for the arithmetic and provenance.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -64,6 +65,53 @@ def _timed(step, args, iters: int, per_iter_images: int):
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total)
     return per_iter_images / dt
+
+
+def _step_flops(step, *args) -> float | None:
+    """Total FLOPs of one compiled call of jitted `step` (XLA cost
+    analysis; same source as BASELINE.md's 549 GFLOP/img figure).  None if
+    the backend doesn't expose it."""
+    try:
+        ca = step.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _peak_tflops(dtype: str) -> float | None:
+    """Chip bf16 MXU peak (TFLOP/s).  f32 gets no %-peak: the MXU has no
+    native f32 mode (XLA emulates via multi-pass bf16), so a single peak
+    number would be misleading."""
+    if dtype != "bfloat16":
+        return None
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for tag, peak in (("v5 lite", 197.0), ("v5e", 197.0), ("v5p", 459.0),
+                      ("v6", 918.0), ("v4", 275.0)):
+        if tag in kind:
+            return peak
+    return None
+
+
+def _perf_fields(rate: float, flops_per_unit: float | None,
+                 dtype: str) -> dict:
+    """MFU bookkeeping attached to every bench line: FLOPs per reported
+    unit (image or image*iter), achieved TFLOP/s, and % of the chip's bf16
+    peak (VERDICT r2 item 3: make 'is it actually fast?' answerable from
+    the artifact alone)."""
+    if not flops_per_unit:
+        return {}
+    out = {"gflop_per_unit": round(flops_per_unit / 1e9, 1),
+           "tflops": round(rate * flops_per_unit / 1e12, 2)}
+    peak = _peak_tflops(dtype)
+    if peak:
+        out["pct_peak_bf16"] = round(100.0 * out["tflops"] / peak, 1)
+    return out
 
 
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
@@ -113,7 +161,9 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
         defense = jax.device_put(defense, replicated(mesh))
         x = jax.device_put(x, batch_sharding(mesh))
     float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
-    return _timed(step, (defense, x), iters, batch * scan_steps)
+    rate = _timed(step, (defense, x), iters, batch * scan_steps)
+    flops = _step_flops(step, defense, x, jax.random.PRNGKey(0))
+    return rate, (flops / (batch * scan_steps) if flops else None)
 
 
 def bench_flagship(dtype: str):
@@ -128,13 +178,15 @@ def bench_flagship(dtype: str):
     # doubles the activation footprint, OOMs above batch 16 unchunked, and
     # peaks at batch 64 with the EoT vmap chunked to 8 (10.73 img/s).
     batch, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
+    rate, flops = _forward_bench(defense, batch=batch, size=64,
+                                 eot_chunk=chunk)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_per_chip",
-        "value": round(_forward_bench(defense, batch=batch, size=64,
-                                      eot_chunk=chunk), 2),
+        "value": round(rate, 2),
         "unit": "img/s", "dtype": dtype,
         "config": f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
                   f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""),
+        **_perf_fields(rate, flops, dtype),
     }
 
 
@@ -154,14 +206,15 @@ def bench_flagship_dp(dtype: str):
         defense = defense_astype(defense)
     per_chip, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
     mesh = make_mesh()
-    value = _forward_bench(defense, batch=per_chip * n, size=64,
-                           eot_chunk=chunk, mesh=mesh)
+    value, flops = _forward_bench(defense, batch=per_chip * n, size=64,
+                                  eot_chunk=chunk, mesh=mesh)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_dp_all_chips",
         "value": round(value, 2), "unit": "img/s", "dtype": dtype,
         "n_devices": n, "per_chip": round(value / n, 2),
         "config": f"ids flagship DP over {n} device(s), "
                   f"global batch {per_chip * n}",
+        **_perf_fields(value / n, flops, dtype),
     }
 
 
@@ -217,17 +270,22 @@ def bench_apgd(dtype: str):
     total = float(jnp.sum(jnp.stack(outs)))
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(total)
+    rate = BATCH * N_ITER / dt
+    flops = _step_flops(step, defense, x, y, jax.random.PRNGKey(0))
     return {
         "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
-        "value": round(BATCH * N_ITER / dt, 2),
+        "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
+        **_perf_fields(rate, flops / (BATCH * N_ITER) if flops else None,
+                       dtype),
     }
 
 
 def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3):
     """Shared driver for per-attack-iteration benches: compiles `step =
-    make_step()`, feeds flagship-shaped inputs, returns img*iter/s."""
+    make_step()`, feeds flagship-shaped inputs, returns
+    (img*iter/s, flops per img*iter or None)."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 64, 64, 3), jnp.float32)
     y = jnp.asarray(rng.randint(0, 100, batch))
@@ -243,7 +301,8 @@ def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3):
     total = float(jnp.sum(jnp.stack(outs)))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total)
-    return batch * n_iter / dt
+    flops = _step_flops(step, x, y, jax.random.PRNGKey(0))
+    return batch * n_iter / dt, (flops / (batch * n_iter) if flops else None)
 
 
 def _flagship_attack_defense(dtype: str):
@@ -274,11 +333,13 @@ def bench_cw(dtype: str):
             return jnp.sum(bound) + jnp.sum(adv)
         return step
 
+    rate, flops = _attack_step_bench(make_step, BATCH, N_ITER)
     return {
         "metric": "cw16_eot32_nvae_defense_image_iters_per_sec_per_chip",
-        "value": round(_attack_step_bench(make_step, BATCH, N_ITER), 2),
+        "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"C&W 1x{N_ITER} Adam steps, EoT-32, ids flagship, batch {BATCH}",
+        **_perf_fields(rate, flops, dtype),
     }
 
 
@@ -357,12 +418,14 @@ def bench_fab(dtype: str):
                 + jnp.sum(adv)
         return step
 
+    rate, flops = _attack_step_bench(make_step, BATCH, N_ITER)
     return {
         "metric": "fab_eot32_nvae_defense_image_iters_per_sec_per_chip",
-        "value": round(_attack_step_bench(make_step, BATCH, N_ITER), 2),
+        "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"FAB 100-class jacobian, {N_ITER} iters, EoT-32, "
                   f"ids flagship, batch {BATCH}",
+        **_perf_fields(rate, flops, dtype),
     }
 
 
@@ -425,11 +488,13 @@ def bench_task(task: str, dtype: str):
     else:
         batch, chunk = (16 if dtype == "bfloat16" else 4), 8
     size = defense.image_size
+    rate, flops = _forward_bench(defense, batch=batch, size=size,
+                                 iters=3, eot_chunk=chunk)
     return {
         "metric": f"eot32_{task}_defense_images_per_sec_per_chip",
-        "value": round(_forward_bench(defense, batch=batch, size=size,
-                                      iters=3, eot_chunk=chunk), 2),
+        "value": round(rate, 2),
         "unit": "img/s", "dtype": dtype,
+        **_perf_fields(rate, flops, dtype),
         "config": (f"gender: E4E+StyleGAN2-1024 + resnet50/2, batch {batch}, eot-chunk {chunk}"
                    if task == "gender"
                    else f"cars: StyleTransformer-512 + resnext50/4, batch {batch}, eot-chunk {chunk}"),
@@ -452,77 +517,101 @@ BENCHES = {
 }
 
 
-def _device_backend_alive(timeout_s: int = 120, retries: int = 4) -> bool:
-    """Probe backend init in a CHILD with a hard timeout.  When the TPU
-    tunnel (remote-compile relay) is down, jax.devices() hangs forever in
-    make_c_api_client (observed 2026-08-17); probing in-process would hang
-    this whole benchmark with it.  The tunnel sometimes recovers on its own,
-    so a down probe is retried (~8 minutes total grace)."""
-    import subprocess
-    import sys
-    for attempt in range(retries):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=timeout_s, capture_output=True)
-            if r.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        if attempt < retries - 1:
-            time.sleep(30)
-    return False
-
-
 LAST_GOOD = "/root/repo/BENCH_LAST_GOOD.json"
 
 
-def main():
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _load_last_good():
+    try:
+        with open(LAST_GOOD) as f:
+            return json.loads(f.read())
+    except Exception:
+        return None
 
-    if not _device_backend_alive():
-        err = {
+
+def supervisor_main():
+    """Un-losable wrapper (VERDICT r2 item 1: round 2's headline number was
+    lost to a driver timeout, rc=124 with nothing printed).  Guarantees a
+    parseable JSON perf line on stdout and exit 0 under ALL conditions:
+
+    1. The most recent MEASURED result (BENCH_LAST_GOOD.json) is printed
+       FIRST, tagged "stale": true — so even a SIGKILL mid-measurement
+       leaves a parseable tail.
+    2. The actual measurement runs in a CHILD process (a down TPU tunnel
+       hangs backend init in uninterruptible C code — observed 2026-08-17 —
+       so an in-process watchdog thread could never fire) with a hard
+       deadline (GAT_BENCH_DEADLINE, default 420s).
+    3. At the deadline the child is killed and the best line it produced so
+       far (the worker streams one after every completed sub-bench) — or
+       the stale line — is re-printed last, and we exit 0.
+    A fresh line printed later supersedes the stale one (drivers read the
+    tail)."""
+    import subprocess
+    import tempfile
+
+    deadline = float(os.environ.get("GAT_BENCH_DEADLINE", "420"))
+    stale = _load_last_good()
+    if stale is not None:
+        print(json.dumps(dict(stale, stale=True)), flush=True)
+
+    out_path = tempfile.NamedTemporaryFile(
+        suffix=".bench.out", delete=False).name
+    timed_out = False
+    with open(out_path, "wb") as out_f:
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            stdout=out_f, env=dict(os.environ, GAT_BENCH_WORKER="1"))
+        try:
+            proc.wait(timeout=deadline)
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            proc.kill()
+            proc.wait()
+
+    best = None
+    try:
+        with open(out_path, "rb") as f:
+            for raw in f.read().decode(errors="replace").splitlines():
+                raw = raw.strip()
+                if not raw.startswith("{"):
+                    continue
+                try:
+                    d = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in d:
+                    best = d  # last complete line wins (most coverage)
+    finally:
+        try:
+            os.unlink(out_path)
+        except OSError:
+            pass
+
+    if best is not None:
+        if timed_out:
+            best = dict(best, deadline_exceeded=True)
+        print(json.dumps(best), flush=True)
+    elif stale is not None:
+        note = ("worker hit the deadline (backend hang or cold compile); "
+                "value is the most recent measured result"
+                if timed_out else "worker produced no fresh line")
+        print(json.dumps(dict(stale, stale=True, note=note)), flush=True)
+    else:
+        print(json.dumps({
             "metric": "eot32_nvae_defense_images_per_sec_per_chip",
             "value": None, "unit": "img/s", "vs_baseline": None,
-            "error": "device backend init timed out (TPU tunnel down); "
-                     "no measurement possible on this host right now",
-        }
-        # attach the most recent MEASURED result so the data point is not
-        # lost to a transient outage (provenance inside)
-        try:
-            err["last_good"] = json.loads(open(LAST_GOOD).read())
-        except Exception:
-            pass
-        print(json.dumps(err))
-        raise SystemExit(1)
+            "error": "no fresh measurement (worker "
+                     + ("deadline" if timed_out else "failure")
+                     + ") and no last-good cache"}), flush=True)
+    raise SystemExit(0)
 
-    if MODE == "all":
-        results = {}
-        for name, fn in BENCHES.items():
-            if name == "flagship_bf16_dp" and len(jax.devices()) < 2:
-                continue  # degenerates to flagship_bf16 on one chip
-            try:
-                results[name] = fn()
-            except Exception as e:  # report partial coverage, never crash
-                results[name] = {"error": f"{type(e).__name__}: {e}"}
-        head = results.pop("flagship_bf16")
-        if head.get("value") is not None:
-            out = dict(head,
-                       vs_baseline=round(head["value"] / BASELINE_A100_IMG_S, 2),
-                       extra=results)
-        else:  # flagship itself failed: still report the other measurements
-            out = {"metric": "eot32_nvae_defense_images_per_sec_per_chip",
-                   "value": None, "unit": "img/s", "vs_baseline": None,
-                   "error": head.get("error", "flagship bench failed"),
-                   "extra": results}
+
+def _finalize(out: dict) -> dict:
+    """Attach vs_baseline and persist the last-good cache."""
+    if out.get("metric", "").startswith("eot32_nvae_defense"):
+        out["vs_baseline"] = (round(out["value"] / BASELINE_A100_IMG_S, 2)
+                              if out.get("value") is not None else None)
     else:
-        head = BENCHES[MODE]()
-        out = dict(head)
-        if MODE.startswith("flagship"):
-            out["vs_baseline"] = round(head["value"] / BASELINE_A100_IMG_S, 2)
-        else:
-            out["vs_baseline"] = None  # anchor exists for the headline only
+        out.setdefault("vs_baseline", None)  # anchor is headline-only
     if (out.get("value") is not None
             and not os.environ.get("GAT_BENCH_NO_LAST_GOOD")):
         try:
@@ -531,7 +620,47 @@ def main():
                                provenance=f"bench.py GAT_BENCH={MODE}"), f)
         except Exception:
             pass
-    print(json.dumps(out))
+    return out
+
+
+def worker_main():
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if MODE == "all":
+        # headline first, then the rest; after EVERY completed sub-bench the
+        # current merged line is re-printed so a deadline kill loses at most
+        # one sub-bench, never the whole run
+        results = {}
+        head = None
+        for name, fn in BENCHES.items():
+            if name == "flagship_bf16_dp" and len(jax.devices()) < 2:
+                continue  # degenerates to flagship_bf16 on one chip
+            try:
+                r = fn()
+            except Exception as e:  # report partial coverage, never crash
+                r = {"error": f"{type(e).__name__}: {e}"}
+            if name == "flagship_bf16":
+                head = r
+            else:
+                results[name] = r
+            if head is not None and head.get("value") is not None:
+                out = _finalize(dict(head, extra=dict(results)))
+            else:
+                out = {"metric": "eot32_nvae_defense_images_per_sec_per_chip",
+                       "value": None, "unit": "img/s", "vs_baseline": None,
+                       "error": (head or {}).get("error", "flagship pending"),
+                       "extra": dict(results)}
+            print(json.dumps(out), flush=True)
+    else:
+        print(json.dumps(_finalize(BENCHES[MODE]())), flush=True)
+
+
+def main():
+    if os.environ.get("GAT_BENCH_WORKER"):
+        worker_main()
+    else:
+        supervisor_main()
 
 
 if __name__ == "__main__":

@@ -64,13 +64,21 @@ def main():
 
     folder = Path(args.results_folder)
     folder.mkdir(parents=True, exist_ok=True)
+    # objective identity in the resume fingerprint: the default shared
+    # --results-folder must never let a crashed search on one (config,
+    # adv-set, eot) resume into a different one (ADVICE r2)
+    fp_extra = {"config": args.config,
+                "adv_images_path": args.adv_images_path,
+                "eot_steps": args.eot_steps, "batch_size": args.batch_size}
     if args.mode == "grid":
         grid_search(evaluator.objective_function, n_alphas, args.n_steps,
-                    results_folder=str(folder), resume=not args.no_resume)
+                    results_folder=str(folder), resume=not args.no_resume,
+                    fingerprint_extra=fp_extra)
     else:
         xs, accs = bayesian_optimize(evaluator.objective_function, n_alphas,
                                      args.n_steps, results_folder=str(folder),
-                                     resume=not args.no_resume)
+                                     resume=not args.no_resume,
+                                     fingerprint_extra=fp_extra)
         np.save(folder / "alphas.npy", xs)
         np.save(folder / "accuracies.npy", accs)
         best = xs[accs[:, 0].argmax()]

@@ -43,6 +43,8 @@ class LoadedDefense:
     eot_steps: int
     eot_chunk: int | None
     attacks: dict                    # name -> callable(key, net, x, y)
+    dtype: str = "float32"           # numeric setup, recorded for the
+    # harness resume fingerprint (a bf16 and an f32 run must never merge)
 
     @property
     def net(self):
@@ -150,7 +152,8 @@ def load_defense(config_path: str, eot_steps: int = 32,
         defense = defense_astype(defense, jnp.dtype(dtype))
 
     return LoadedDefense(experiment, defense_type, image_size, n_classes,
-                         defense, eot_steps, eot_chunk, attacks)
+                         defense, eot_steps, eot_chunk, attacks,
+                         dtype=dtype or "float32")
 
 
 def _ours_components(experiment: str, meta: dict):

@@ -166,7 +166,14 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
     fingerprint = {"seed": seed, "batch_size": batch_size,
                    "attacks": list(attack_names), "max_images": max_images,
                    "pid": pid, "pcount": pcount, "n_images": len(dataset),
-                   "eot_steps": loaded.eot_steps}
+                   "eot_steps": loaded.eot_steps,
+                   # defense identity + numeric setup: a checkpoint from a
+                   # different defense/experiment/dtype/chunking must never
+                   # be resumed into this run (ADVICE r2)
+                   "defense_type": loaded.defense_type,
+                   "experiment": loaded.experiment,
+                   "eot_chunk": loaded.eot_chunk, "dtype": loaded.dtype,
+                   "n_devices": n_devices}
     resume_n_seen = 0
     if resume and progress_path.exists():
         try:
@@ -254,12 +261,15 @@ def run_benchmark(loaded: LoadedDefense, images_path: str, results_folder: str,
                  "clean_correct": clean_correct, "distortions": distortions}))
             os.replace(tmp, progress_path)  # atomic: never a torn checkpoint
 
-    progress_path.unlink(missing_ok=True)  # run completed (or stale file)
-
     if pcount > 1:
         clean_correct = allgather_lists(clean_correct, pcount)
         distortions = {name: allgather_lists(vals, pcount)
                        for name, vals in distortions.items()}
+
+    # unlink only AFTER the distributed allgather: if any process dies
+    # inside it, every process still holds its finished-batch checkpoint
+    # and the rerun replays from results instead of recomputing (ADVICE r2)
+    progress_path.unlink(missing_ok=True)  # run completed (or stale file)
 
     results = dict(Clean=float(np.mean(clean_correct)))
     if pid == 0:

@@ -34,6 +34,12 @@ class AlphaEvaluator:
     alpha leaf - so re-evaluation with new alphas reuses the same compiled
     XLA program, mirroring the reference's in-place alpha mutation
     (common_utils.py:88) without its eager re-dispatch.
+
+    EoT noise keys are position-addressed, not stream-addressed: evaluation
+    `e`, batch `b` always uses fold_in(fold_in(base_key, e), b).  A search
+    that resumes after `done` evaluations calls fast_forward(done) and every
+    later evaluation draws EXACTLY the noise an uninterrupted run would have
+    - full-run seed reproducibility, not just search-side (ADVICE r2).
     """
 
     def __init__(self, defense_template, images, labels, attenuation: float,
@@ -45,7 +51,8 @@ class AlphaEvaluator:
         self.attenuation = attenuation
         self.eot_steps = eot_steps
         self.batch_size = batch_size
-        self.key = jax.random.PRNGKey(seed)
+        self.base_key = jax.random.PRNGKey(seed)
+        self._eval_index = 0
 
         def accuracy_batch(defense, key, x, y):
             net = eot_wrap(defense, self.eot_steps)
@@ -54,15 +61,22 @@ class AlphaEvaluator:
 
         self._acc_batch = jax.jit(accuracy_batch)
 
+    def fast_forward(self, n_evaluations: int):
+        """Skip the key material of the first n completed evaluations (used
+        by the searches' resume path; see grid._fast_forward)."""
+        self._eval_index = int(n_evaluations)
+
     def objective_function(self, alphas) -> float:
         alphas = jnp.asarray(alphas) * self.attenuation
         defense = self.defense.replace(alphas=alphas)
+        eval_key = jax.random.fold_in(self.base_key, self._eval_index)
+        self._eval_index += 1
         correct, total = 0, 0
         bs = self.batch_size
-        for i in range(0, len(self.images), bs):
+        for bi, i in enumerate(range(0, len(self.images), bs)):
             x = jnp.asarray(self.images[i:i + bs])
             y = jnp.asarray(self.labels[i:i + bs])
-            self.key, sub = jax.random.split(self.key)
+            sub = jax.random.fold_in(eval_key, bi)
             correct += int(self._acc_batch(defense, sub, x, y))
             total += int(x.shape[0])
         return correct / max(total, 1)

@@ -141,21 +141,28 @@ def optimize_acqf(key, params, x_train, y_train, best_f, bounds,
 def bayesian_optimize(objective, n_alphas: int, n_steps: int,
                       seed_points: list | None = None, seed: int = 0,
                       log_fn=print, results_folder: str | None = None,
-                      resume: bool = True):
+                      resume: bool = True,
+                      fingerprint_extra: dict | None = None):
     """The full BO loop (bayesian_optimization.py:50-124): 5 seed schedules,
     GP refit + EI candidate each step; minimizes 1 - accuracy.  Returns
     (all_alphas (N,D), all_accuracies (N,1)).
 
     With results_folder set, every evaluated point is checkpointed (in the
     final alphas.npy/accuracies.npy format) and a re-run resumes after the
-    last evaluated point with an identical PRNG stream - each objective()
-    call is a full EoT epoch over the adversarial set, so a crashed search
-    keeps everything already paid for."""
+    last evaluated point with an identical PRNG stream — both the
+    search-side key AND (via the objective's fast_forward hook, see
+    grid._fast_forward) the objective's own EoT noise keys - each
+    objective() call is a full EoT epoch over the adversarial set, so a
+    crashed search keeps everything already paid for and the resumed run is
+    seed-reproducible end to end.
+
+    `fingerprint_extra`: objective-identifying fields folded into the
+    resume fingerprint (see grid_search)."""
     from pathlib import Path
 
     from gen_adversarial_tpu.search.alphas import get_linear_alphas, get_cosine_alphas
     from gen_adversarial_tpu.search.grid import (
-        load_search_progress, save_search_step)
+        _fast_forward, load_search_progress, save_search_step)
 
     if seed_points is None:
         seed_points = [
@@ -168,7 +175,8 @@ def bayesian_optimize(objective, n_alphas: int, n_steps: int,
     n_seed = len(seed_points)
     folder = Path(results_folder) if results_folder is not None else None
     fingerprint = {"mode": "bo", "n_alphas": n_alphas, "n_steps": n_steps,
-                   "seed": seed, "n_seed": n_seed}
+                   "seed": seed, "n_seed": n_seed,
+                   **(fingerprint_extra or {})}
     rows, acc_rows, done, marker = ([], [], 0, {}) if not resume else \
         load_search_progress(folder, fingerprint, "bo_progress.json", log_fn)
     if done and (len(marker.get("ys", [])) != done or not np.allclose(
@@ -182,6 +190,7 @@ def bayesian_optimize(objective, n_alphas: int, n_steps: int,
     # ys come from the marker, not 1-accuracies: the json float round-trip
     # is exact, so a resumed run's GP inputs are bit-identical
     ys = [float(v) for v in marker.get("ys", [])]
+    _fast_forward(objective, done)
 
     def checkpoint():
         if folder is not None:

@@ -54,13 +54,28 @@ def load_search_progress(folder: Path | None, fingerprint: dict,
     return list(a), [list(r) for r in np.atleast_2d(acc)], done, meta
 
 
+def _fast_forward(objective, done: int):
+    """Tell a resuming objective how many evaluations are already paid for,
+    so its own PRNG stream lands where an uninterrupted run's would (see
+    AlphaEvaluator.fast_forward).  Plain callables without the hook (tests,
+    synthetic objectives) are left alone."""
+    ff = getattr(objective, "fast_forward", None) \
+        or getattr(getattr(objective, "__self__", None), "fast_forward", None)
+    if ff is not None:
+        ff(done)
+
+
 def grid_search(objective, n_alphas: int, n_steps: int, seed: int = 0,
                 results_folder: str | None = None, log_fn=print,
-                resume: bool = True):
+                resume: bool = True, fingerprint_extra: dict | None = None):
+    """`fingerprint_extra`: objective-identifying fields (config path, adv
+    set, eot_steps, ...) folded into the resume fingerprint - without them a
+    crashed search on defense A could silently resume into a search on
+    defense B sharing the same results folder (ADVICE r2)."""
     rng = np.random.RandomState(seed)
     folder = Path(results_folder) if results_folder is not None else None
     fingerprint = {"mode": "grid", "n_alphas": n_alphas, "n_steps": n_steps,
-                   "seed": seed}
+                   "seed": seed, **(fingerprint_extra or {})}
     alphas, accuracies, done, _ = ([], [], 0, {}) if not resume else \
         load_search_progress(folder, fingerprint, "grid_progress.json", log_fn)
     if done:
@@ -72,6 +87,7 @@ def grid_search(objective, n_alphas: int, n_steps: int, seed: int = 0,
                    "restarting from scratch")
             alphas, accuracies, done = [], [], 0
             rng = np.random.RandomState(seed)
+    _fast_forward(objective, done)
     for s in range(done, n_steps):
         a = rng.uniform(0.0, 1.0, size=n_alphas)
         acc = objective(a)
