@@ -67,16 +67,19 @@ def _timed(step, args, iters: int, per_iter_images: int):
     return per_iter_images / dt
 
 
-def _step_flops(step, *args) -> float | None:
-    """Total FLOPs of one compiled call of jitted `step` (XLA cost
-    analysis; same source as BASELINE.md's 549 GFLOP/img figure).  None if
-    the backend doesn't expose it."""
+def _step_cost(step, *args) -> dict | None:
+    """XLA cost analysis of one compiled call of jitted `step` (same source
+    as BASELINE.md's 549 GFLOP/img figure): {'flops', 'bytes'} — bytes is
+    'bytes accessed' (HBM traffic proxy, the roofline's other axis).  None
+    if the backend doesn't expose it."""
     try:
         ca = step.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
-        return f if f > 0 else None
+        if f <= 0:
+            return None
+        return {"flops": f, "bytes": float(ca.get("bytes accessed", 0.0))}
     except Exception:
         return None
 
@@ -98,25 +101,46 @@ def _peak_tflops(dtype: str) -> float | None:
     return None
 
 
-def _perf_fields(rate: float, flops_per_unit: float | None,
+def _perf_fields(rate: float, cost: dict | None, units_per_call: int,
                  dtype: str) -> dict:
-    """MFU bookkeeping attached to every bench line: FLOPs per reported
-    unit (image or image*iter), achieved TFLOP/s, and % of the chip's bf16
-    peak (VERDICT r2 item 3: make 'is it actually fast?' answerable from
-    the artifact alone)."""
-    if not flops_per_unit:
+    """MFU + roofline bookkeeping attached to every bench line: FLOPs per
+    reported unit (image or image*iter), achieved TFLOP/s, % of the chip's
+    bf16 peak, and achieved HBM GB/s with its % of peak bandwidth (VERDICT
+    r2 items 2+3: make 'is it actually fast, and if not, is it at the
+    bandwidth bound?' answerable from the artifact alone)."""
+    if not cost:
         return {}
+    flops_per_unit = cost["flops"] / units_per_call
     out = {"gflop_per_unit": round(flops_per_unit / 1e9, 1),
            "tflops": round(rate * flops_per_unit / 1e12, 2)}
     peak = _peak_tflops(dtype)
     if peak:
         out["pct_peak_bf16"] = round(100.0 * out["tflops"] / peak, 1)
+    if cost.get("bytes"):
+        gbps = rate * (cost["bytes"] / units_per_call) / 1e9
+        out["hbm_gbps"] = round(gbps, 1)
+        bw = _peak_hbm_gbps()
+        if bw:
+            out["pct_peak_hbm"] = round(100.0 * gbps / bw, 1)
     return out
+
+
+def _peak_hbm_gbps() -> float | None:
+    """Chip HBM bandwidth (GB/s)."""
+    try:
+        kind = jax.devices()[0].device_kind.lower()
+    except Exception:
+        return None
+    for tag, bw in (("v5 lite", 819.0), ("v5e", 819.0), ("v5p", 2765.0),
+                    ("v6", 1640.0), ("v4", 1228.0)):
+        if tag in kind:
+            return bw
+    return None
 
 
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
                    eot_chunk: int | None = None, mesh=None,
-                   scan_steps: int = 8):
+                   scan_steps: int = 8, dtype: str = "float32"):
     """`mesh`: optional 1-D data mesh - the defense is replicated and the
     batch axis sharded over it (`batch` is then the GLOBAL batch and must
     divide by the mesh size); XLA runs the same program per chip with no
@@ -162,8 +186,10 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
         x = jax.device_put(x, batch_sharding(mesh))
     float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
     rate = _timed(step, (defense, x), iters, batch * scan_steps)
-    flops = _step_flops(step, defense, x, jax.random.PRNGKey(0))
-    return rate, (flops / (batch * scan_steps) if flops else None)
+    cost = _step_cost(step, defense, x, jax.random.PRNGKey(0))
+    # per-chip perf fields under a mesh (rate and cost are program-global)
+    n = mesh.size if mesh is not None else 1
+    return rate, _perf_fields(rate / n, cost, batch * scan_steps, dtype)
 
 
 def bench_flagship(dtype: str):
@@ -178,15 +204,15 @@ def bench_flagship(dtype: str):
     # doubles the activation footprint, OOMs above batch 16 unchunked, and
     # peaks at batch 64 with the EoT vmap chunked to 8 (10.73 img/s).
     batch, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
-    rate, flops = _forward_bench(defense, batch=batch, size=64,
-                                 eot_chunk=chunk)
+    rate, perf = _forward_bench(defense, batch=batch, size=64,
+                                eot_chunk=chunk, dtype=dtype)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img/s", "dtype": dtype,
         "config": f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
                   f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""),
-        **_perf_fields(rate, flops, dtype),
+        **perf,
     }
 
 
@@ -206,15 +232,15 @@ def bench_flagship_dp(dtype: str):
         defense = defense_astype(defense)
     per_chip, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
     mesh = make_mesh()
-    value, flops = _forward_bench(defense, batch=per_chip * n, size=64,
-                                  eot_chunk=chunk, mesh=mesh)
+    value, perf = _forward_bench(defense, batch=per_chip * n, size=64,
+                                 eot_chunk=chunk, mesh=mesh, dtype=dtype)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_dp_all_chips",
         "value": round(value, 2), "unit": "img/s", "dtype": dtype,
         "n_devices": n, "per_chip": round(value / n, 2),
         "config": f"ids flagship DP over {n} device(s), "
                   f"global batch {per_chip * n}",
-        **_perf_fields(value / n, flops, dtype),
+        **perf,
     }
 
 
@@ -271,21 +297,21 @@ def bench_apgd(dtype: str):
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(total)
     rate = BATCH * N_ITER / dt
-    flops = _step_flops(step, defense, x, y, jax.random.PRNGKey(0))
+    cost = _step_cost(step, defense, x, y, jax.random.PRNGKey(0))
     return {
         "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
-        **_perf_fields(rate, flops / (BATCH * N_ITER) if flops else None,
-                       dtype),
+        **_perf_fields(rate, cost, BATCH * N_ITER, dtype),
     }
 
 
-def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3):
+def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3,
+                       dtype: str = "float32"):
     """Shared driver for per-attack-iteration benches: compiles `step =
     make_step()`, feeds flagship-shaped inputs, returns
-    (img*iter/s, flops per img*iter or None)."""
+    (img*iter/s, MFU/roofline fields)."""
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, 64, 64, 3), jnp.float32)
     y = jnp.asarray(rng.randint(0, 100, batch))
@@ -301,8 +327,9 @@ def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3):
     total = float(jnp.sum(jnp.stack(outs)))
     dt = (time.perf_counter() - t0) / iters
     assert np.isfinite(total)
-    flops = _step_flops(step, x, y, jax.random.PRNGKey(0))
-    return batch * n_iter / dt, (flops / (batch * n_iter) if flops else None)
+    cost = _step_cost(step, x, y, jax.random.PRNGKey(0))
+    rate = batch * n_iter / dt
+    return rate, _perf_fields(rate, cost, batch * n_iter, dtype)
 
 
 def _flagship_attack_defense(dtype: str):
@@ -333,13 +360,13 @@ def bench_cw(dtype: str):
             return jnp.sum(bound) + jnp.sum(adv)
         return step
 
-    rate, flops = _attack_step_bench(make_step, BATCH, N_ITER)
+    rate, perf = _attack_step_bench(make_step, BATCH, N_ITER, dtype=dtype)
     return {
         "metric": "cw16_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"C&W 1x{N_ITER} Adam steps, EoT-32, ids flagship, batch {BATCH}",
-        **_perf_fields(rate, flops, dtype),
+        **perf,
     }
 
 
@@ -418,14 +445,14 @@ def bench_fab(dtype: str):
                 + jnp.sum(adv)
         return step
 
-    rate, flops = _attack_step_bench(make_step, BATCH, N_ITER)
+    rate, perf = _attack_step_bench(make_step, BATCH, N_ITER, dtype=dtype)
     return {
         "metric": "fab_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"FAB 100-class jacobian, {N_ITER} iters, EoT-32, "
                   f"ids flagship, batch {BATCH}",
-        **_perf_fields(rate, flops, dtype),
+        **perf,
     }
 
 
@@ -488,13 +515,13 @@ def bench_task(task: str, dtype: str):
     else:
         batch, chunk = (16 if dtype == "bfloat16" else 4), 8
     size = defense.image_size
-    rate, flops = _forward_bench(defense, batch=batch, size=size,
-                                 iters=3, eot_chunk=chunk)
+    rate, perf = _forward_bench(defense, batch=batch, size=size,
+                                iters=3, eot_chunk=chunk, dtype=dtype)
     return {
         "metric": f"eot32_{task}_defense_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img/s", "dtype": dtype,
-        **_perf_fields(rate, flops, dtype),
+        **perf,
         "config": (f"gender: E4E+StyleGAN2-1024 + resnet50/2, batch {batch}, eot-chunk {chunk}"
                    if task == "gender"
                    else f"cars: StyleTransformer-512 + resnext50/4, batch {batch}, eot-chunk {chunk}"),

@@ -70,6 +70,12 @@ def main():
 
     tds = ImageLabelDataset(f"{args.data_path}/train", image_size)
     key = jax.random.PRNGKey(args.seed)
+    # persistent log.txt next to the output artifact (classifier/train.py
+    # flushes args.log the same way, train.py:309-315)
+    from gen_adversarial_tpu.core.runlog import RunLog, param_summary
+    log = RunLog(Path(args.out) / "log.txt") if pid == 0 \
+        else (lambda s: None)
+    log(param_summary(state.params, CLASSIFIER_TYPE[args.experiment]))
     with jax.set_mesh(mesh):
         state = _to_global(replicated(mesh), state)
         for epoch in range(args.epochs):
@@ -83,9 +89,8 @@ def main():
                 key, sub = jax.random.split(key)
                 state, loss = step(state, batch, sub)
                 losses.append(float(loss))
-            if pid == 0:
-                print(f"[epoch {epoch + 1}/{args.epochs}] "
-                      f"trades loss {np.mean(losses):.4f}")
+            log(f"[epoch {epoch + 1}/{args.epochs}] "
+                f"trades loss {np.mean(losses):.4f}")
 
     if pid == 0:
         save_variables(Path(args.out) / "last.msgpack",

@@ -44,6 +44,10 @@ def main():
     tx, step = make_ndvae_train_step(model, r["lr"], total)
     opt_state = tx.init(variables["params"])
 
+    from gen_adversarial_tpu.core.runlog import RunLog, param_summary
+    log = RunLog(Path(args.out) / "log.txt")
+    log(param_summary(variables["params"], f"nd_vae/{args.task}"))
+
     rng = np.random.RandomState(args.seed)
     gstep = 0
     for epoch in range(r["epochs"]):
@@ -64,7 +68,7 @@ def main():
                 sub, jnp.float32(gstep))
             losses.append(float(loss))
             gstep += 1
-        print(f"[epoch {epoch + 1}/{r['epochs']}] loss {np.mean(losses):.2f}")
+        log(f"[epoch {epoch + 1}/{r['epochs']}] loss {np.mean(losses):.2f}")
 
     save_variables(Path(args.out) / "nd_vae.msgpack",
                    jax.device_get(variables),

@@ -46,3 +46,10 @@ def load_train_state(ckpt_dir: str | Path, step: int, target):
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(Path(ckpt_dir).absolute() / f"step_{step:08d}", target)
+
+
+def latest_step(ckpt_dir: str | Path) -> int | None:
+    """Highest step_NNNNNNNN checkpoint in ckpt_dir, or None if empty."""
+    steps = sorted(int(p.name.split("_")[1])
+                   for p in Path(ckpt_dir).glob("step_*") if p.is_dir())
+    return steps[-1] if steps else None

@@ -9,6 +9,7 @@ kornia augmentation pipeline runs inside the same jitted step.
 
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 from typing import Any
 
 import jax
@@ -137,6 +138,12 @@ def fit(model_type: str, n_classes: int, image_size: int, train_ds, val_ds,
     pid = jax.process_index() if distributed else 0
     if pid != 0:
         log_fn = lambda s: None  # noqa: E731 (rank-0 logging, train.py:309)
+    elif checkpoint_dir:
+        # persistent log.txt next to the checkpoints, written line-by-line
+        # (the reference flushes args.log at run end, train.py:309-315)
+        from gen_adversarial_tpu.core.runlog import RunLog, param_summary
+        log_fn = RunLog(Path(checkpoint_dir) / "log.txt", log_fn)
+        log_fn(param_summary(state.params, model_type))
     if batch_size % n_proc:
         raise ValueError(f"batch_size {batch_size} not divisible by "
                          f"{n_proc} processes")

@@ -21,8 +21,10 @@ def test_forward_bench_dp_mesh():
     defense = _small_nvae_defense()
     mesh = make_mesh()
     assert mesh.size == 8
-    v = bench._forward_bench(defense, batch=16, size=16, iters=2, mesh=mesh)
+    v, perf = bench._forward_bench(defense, batch=16, size=16, iters=2,
+                                    mesh=mesh)
     assert np.isfinite(v) and v > 0
+    assert isinstance(perf, dict)  # MFU fields, when cost analysis is exposed
 
 
 def test_forward_bench_dp_batch_divisibility():

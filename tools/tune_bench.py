@@ -65,10 +65,12 @@ def main():
                 chunk = None if ch == "none" else int(ch)
                 for sc in (int(x) for x in args.scan.split(",")):
                     try:
-                        v = bench._forward_bench(defense, batch=b, size=size,
-                                                 iters=args.iters,
-                                                 eot_chunk=chunk,
-                                                 scan_steps=sc)
+                        v, _ = bench._forward_bench(defense, batch=b,
+                                                    size=size,
+                                                    iters=args.iters,
+                                                    eot_chunk=chunk,
+                                                    scan_steps=sc,
+                                                    dtype=dtype)
                         rows.append((dtype, b, ch, sc, f"{v:.2f}"))
                     except Exception as e:
                         # HBM exhaustion surfaces two ways on this backend:
