@@ -297,39 +297,17 @@ def bench_apgd(dtype: str):
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(total)
     rate = BATCH * N_ITER / dt
-    cost = _step_cost(step, defense, x, y, jax.random.PRNGKey(0))
+    # no MFU fields here: XLA cost analysis counts a while/scan body ONCE
+    # regardless of trip count, so loop-carried attack programs undercount
+    # FLOPs ~n_iter-fold (measured: 49 GFLOP/img*iter reported vs ~1.7
+    # TFLOP actual).  MFU/roofline evidence lives on the straight-line
+    # forward benches.
     return {
         "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
-        **_perf_fields(rate, cost, BATCH * N_ITER, dtype),
     }
-
-
-def _attack_step_bench(make_step, batch: int, n_iter: int, iters: int = 3,
-                       dtype: str = "float32"):
-    """Shared driver for per-attack-iteration benches: compiles `step =
-    make_step()`, feeds flagship-shaped inputs, returns
-    (img*iter/s, MFU/roofline fields)."""
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(batch, 64, 64, 3), jnp.float32)
-    y = jnp.asarray(rng.randint(0, 100, batch))
-    step = make_step()
-    float(step(x, y, jax.random.PRNGKey(0)))  # compile + force
-
-    key = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
-    outs = []
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        outs.append(step(x, y, sub))
-    total = float(jnp.sum(jnp.stack(outs)))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(total)
-    cost = _step_cost(step, x, y, jax.random.PRNGKey(0))
-    rate = batch * n_iter / dt
-    return rate, _perf_fields(rate, cost, batch * n_iter, dtype)
 
 
 def _flagship_attack_defense(dtype: str):
@@ -342,31 +320,74 @@ def _flagship_attack_defense(dtype: str):
 
 
 def bench_cw(dtype: str):
-    """C&W per-optimizer-step throughput through the EoT-32 flagship defense
-    (1 restart x 16 Adam steps; the production budget is 8 restarts x 1024
-    steps of exactly this step - load_defense.py:48-52)."""
+    """C&W per-optimizer-step throughput through the EoT-32 flagship
+    defense.  The program is ONE tanh-space Adam step — the exact body the
+    production budget loops 8 restarts x 1024 times (attacks/cw.py:66-91,
+    reference load_defense.py:48-52) — host-looped with the optimizer state
+    chained call-to-call.
+
+    Root cause of the 2026-08-19 failures (2x relay crash after ~30 min,
+    then RESOURCE_EXHAUSTED): the step closed over `defense`, inlining the
+    2.7GB weight tree as XLA program constants (constant-folding blowup +
+    on-chip duplication).  Weights must always be jit ARGUMENTS."""
     from gen_adversarial_tpu.defenses.eot import eot_wrap
-    from gen_adversarial_tpu.attacks.cw import cw_attack
 
     defense = _flagship_attack_defense(dtype)
-    BATCH, N_ITER = (16 if dtype == "bfloat16" else 8), 16
+    BATCH, HOST_ITERS = 8, 6
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 100, BATCH))
+    c = jnp.float32(1.0)
 
-    def make_step():
-        @jax.jit
-        def step(x, y, key):
-            net = eot_wrap(defense, eot_steps=EOT, chunk=8)
-            succ, bound, adv = cw_attack(key, net, x, y, steps=N_ITER,
-                                         n_restarts=1)
-            return jnp.sum(bound) + jnp.sum(adv)
-        return step
+    # defense MUST be a jit argument, not a closure: closed-over weight
+    # trees become program constants — the 2.7GB flagship tree as inline
+    # constants OOMed the 16G chip and drove a ~30-min constant-folding
+    # compile that crashed the remote-compile relay (observed 2026-08-19)
+    @jax.jit
+    def adam_step(defense, w, m, v, t, key):
+        net = eot_wrap(defense, eot_steps=EOT, chunk=8)
 
-    rate, perf = _attack_step_bench(make_step, BATCH, N_ITER, dtype=dtype)
+        def loss_fn(w_):
+            adv_ = 0.5 * (jnp.tanh(w_) + 1.0)
+            l2 = jnp.sum((adv_ - x) ** 2, axis=(1, 2, 3))
+            logits = net(key, adv_)
+            one_hot = jax.nn.one_hot(y, logits.shape[1], dtype=logits.dtype)
+            real = jnp.sum(one_hot * logits, 1)
+            other = jnp.max((1 - one_hot) * logits - one_hot * 1e4, 1)
+            return jnp.sum(l2 + c * jnp.maximum(real - other, 0.0))
+
+        g = jax.grad(loss_fn)(w)
+        gn = jnp.sqrt(jnp.sum(g.reshape(BATCH, -1) ** 2, 1)
+                      ).reshape(BATCH, 1, 1, 1)
+        g = g * jnp.minimum(1.0, 1.0 / jnp.maximum(gn, 1e-12))
+        t = t + 1.0
+        m = 0.9 * m + 0.1 * g
+        v = 0.999 * v + 0.001 * g ** 2
+        mhat = m / (1 - 0.9 ** t)
+        vhat = v / (1 - 0.999 ** t)
+        w = w - 1e-2 * mhat / (jnp.sqrt(vhat) + 1e-8)
+        return w, m, v, t
+
+    w = jnp.arctanh(jnp.clip(x, 1e-6, 1 - 1e-6) * 2.0 - 1.0)
+    m, v, t = jnp.zeros_like(w), jnp.zeros_like(w), jnp.float32(0)
+    jax.block_until_ready(
+        adam_step(defense, w, m, v, t, jax.random.PRNGKey(0))[0])
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    for _ in range(HOST_ITERS):  # state chained: each call depends on the
+        key, sub = jax.random.split(key)  # previous one, nothing cancellable
+        w, m, v, t = adam_step(defense, w, m, v, t, sub)
+    total = float(jnp.sum(w))
+    dt = (time.perf_counter() - t0) / HOST_ITERS
+    assert np.isfinite(total)
     return {
-        "metric": "cw16_eot32_nvae_defense_image_iters_per_sec_per_chip",
-        "value": round(rate, 2),
+        "metric": "cw_eot32_nvae_defense_image_iters_per_sec_per_chip",
+        "value": round(BATCH / dt, 2),
         "unit": "img*iter/s", "dtype": dtype,
-        "config": f"C&W 1x{N_ITER} Adam steps, EoT-32, ids flagship, batch {BATCH}",
-        **perf,
+        "config": f"C&W single tanh-Adam step (production loops it 8x1024), "
+                  f"EoT-32, ids flagship, batch {BATCH}, host-looped "
+                  f"{HOST_ITERS}",
     }
 
 
@@ -384,23 +405,31 @@ def bench_deepfool(dtype: str):
 
     defense = _flagship_attack_defense(dtype)
     # the 10-class jacobian multiplies the backward's cotangent count ~10x
-    # vs APGD's scalar loss; batch stays small
+    # vs APGD's scalar loss; batch stays small.  defense is a jit ARGUMENT
+    # everywhere (closure capture inlines the 2.7GB tree as program
+    # constants — OOM + relay-killing compiles, see bench_cw note)
     BATCH, MAX_ITER = (4 if dtype == "bfloat16" else 2), 8
-    net = eot_wrap(defense, eot_steps=EOT, chunk=8)
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32)
-    y = jnp.argmax(jax.jit(net)(jax.random.PRNGKey(42), x), axis=1)
 
     @jax.jit
-    def step(x, y, key):
+    def predict(defense, x, key):
+        net = eot_wrap(defense, eot_steps=EOT, chunk=8)
+        return jnp.argmax(net(key, x), axis=1)
+
+    y = predict(defense, x, jax.random.PRNGKey(42))
+
+    @jax.jit
+    def step(defense, x, y, key):
+        net = eot_wrap(defense, eot_steps=EOT, chunk=8)
         succ, bound, adv, iters = deepfool_attack(
             key, net, x, y, num_classes=10, max_iter=MAX_ITER,
             return_iters=True)
         return jnp.sum(jnp.where(jnp.isfinite(bound), bound, 0.0)) \
             + jnp.sum(adv), iters
 
-    s, it = step(x, y, jax.random.PRNGKey(0))
+    s, it = step(defense, x, y, jax.random.PRNGKey(0))
     float(s), int(it)  # compile + force
 
     key = jax.random.PRNGKey(1)
@@ -409,7 +438,7 @@ def bench_deepfool(dtype: str):
     ITERS = 3
     for _ in range(ITERS):
         key, sub = jax.random.split(key)
-        s, it = step(x, y, sub)
+        s, it = step(defense, x, y, sub)
         outs.append(s)
         total_iters += int(it)
     total = float(jnp.sum(jnp.stack(outs)))
@@ -436,16 +465,30 @@ def bench_fab(dtype: str):
     defense = _flagship_attack_defense(dtype)
     BATCH, N_ITER = (2 if dtype == "bfloat16" else 1), 4
 
-    def make_step():
-        @jax.jit
-        def step(x, y, key):
-            net = eot_wrap(defense, eot_steps=EOT, chunk=8)
-            succ, bound, adv = fab_attack(key, net, x, y, n_iter=N_ITER)
-            return jnp.sum(jnp.where(jnp.isfinite(bound), bound, 0.0)) \
-                + jnp.sum(adv)
-        return step
+    @jax.jit
+    def step(defense, x, y, key):
+        # defense as a jit argument, never a closure — see bench_cw note
+        net = eot_wrap(defense, eot_steps=EOT, chunk=8)
+        succ, bound, adv = fab_attack(key, net, x, y, n_iter=N_ITER)
+        return jnp.sum(jnp.where(jnp.isfinite(bound), bound, 0.0)) \
+            + jnp.sum(adv)
 
-    rate, perf = _attack_step_bench(make_step, BATCH, N_ITER, dtype=dtype)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, 64, 64, 3), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 100, BATCH))
+    float(step(defense, x, y, jax.random.PRNGKey(0)))  # compile + force
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.perf_counter()
+    outs = []
+    ITERS = 3
+    for _ in range(ITERS):
+        key, sub = jax.random.split(key)
+        outs.append(step(defense, x, y, sub))
+    total = float(jnp.sum(jnp.stack(outs)))
+    dt = (time.perf_counter() - t0) / ITERS
+    assert np.isfinite(total)
+    rate, perf = BATCH * N_ITER / dt, {}
     return {
         "metric": "fab_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
@@ -514,6 +557,11 @@ def bench_task(task: str, dtype: str):
         batch, chunk = 1, 16
     else:
         batch, chunk = (16 if dtype == "bfloat16" else 4), 8
+    # sweep overrides (tools/bench_queue.py mode@KEY=V items)
+    batch = int(os.environ.get("GAT_TASK_BATCH", batch))
+    chunk_env = os.environ.get("GAT_TASK_CHUNK")
+    if chunk_env is not None:
+        chunk = None if chunk_env in ("none", "0") else int(chunk_env)
     size = defense.image_size
     rate, perf = _forward_bench(defense, batch=batch, size=size,
                                 iters=3, eot_chunk=chunk, dtype=dtype)
@@ -640,6 +688,8 @@ def _finalize(out: dict) -> dict:
     else:
         out.setdefault("vs_baseline", None)  # anchor is headline-only
     if (out.get("value") is not None
+            and MODE in ("flagship_bf16", "all")  # the stale-fallback line
+            # must always be the HEADLINE metric, never a side bench
             and not os.environ.get("GAT_BENCH_NO_LAST_GOOD")):
         try:
             with open(LAST_GOOD, "w") as f:

@@ -25,6 +25,9 @@ def main():
     p.add_argument("--n-samples", type=int, default=500)
     p.add_argument("--results-folder", default="alpha_search_results")
     p.add_argument("--eot-steps", type=int, default=32)
+    p.add_argument("--eot-chunk", type=int, default=None,
+                   help="chunk the EoT vmap to bound peak activation memory "
+                        "(needed for the 1024px gender purifier)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--no-resume", action="store_true",
                    help="ignore any per-evaluation search checkpoint "
@@ -60,7 +63,8 @@ def main():
     evaluator = AlphaEvaluator(make_defense(np.zeros(n_alphas)), images, labels,
                                attenuation=ALPHA_ATTENUATION[exp],
                                eot_steps=args.eot_steps,
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               eot_chunk=args.eot_chunk)
 
     folder = Path(args.results_folder)
     folder.mkdir(parents=True, exist_ok=True)

@@ -43,7 +43,8 @@ class AlphaEvaluator:
     """
 
     def __init__(self, defense_template, images, labels, attenuation: float,
-                 eot_steps: int = 32, batch_size: int = 16, seed: int = 0):
+                 eot_steps: int = 32, batch_size: int = 16, seed: int = 0,
+                 eot_chunk: int | None = None):
         from gen_adversarial_tpu.defenses.eot import eot_wrap
         self.defense = defense_template
         self.images = np.asarray(images)
@@ -55,7 +56,10 @@ class AlphaEvaluator:
         self._eval_index = 0
 
         def accuracy_batch(defense, key, x, y):
-            net = eot_wrap(defense, self.eot_steps)
+            # eot_chunk bounds peak activations for the high-res purifiers
+            # (the harness chunks the same way; unchunked EoT-32 through a
+            # 1024^2 decode OOMs a 16G chip)
+            net = eot_wrap(defense, self.eot_steps, chunk=eot_chunk)
             preds = jnp.argmax(net(key, x), axis=1)
             return jnp.sum(preds == y)
 

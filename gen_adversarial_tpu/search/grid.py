@@ -119,9 +119,18 @@ def create_adversarial_dataset(loaded, images_path: str, out_dir: str,
     from PIL import Image
     from gen_adversarial_tpu.attacks import fgsm_attack
     from gen_adversarial_tpu.data.datasets import ImageLabelDataset, iterate_batches
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
 
     dataset = ImageLabelDataset(images_path, loaded.image_size)
-    attack = jax.jit(lambda k, x, y: fgsm_attack(k, loaded.net, x, y, l2_bound))
+
+    # the defense pytree is a jit ARGUMENT: closing over loaded.net would
+    # inline the purifier weight tree as XLA constants (constant-folding
+    # compile blowup + duplicated on-chip memory at real scale)
+    @jax.jit
+    def attack(k, defense, x, y):
+        net = eot_wrap(defense, eot_steps, chunk=loaded.eot_chunk)
+        return fgsm_attack(k, net, x, y, l2_bound)
+
     key = jax.random.PRNGKey(seed)
     kept = 0
     out = Path(out_dir)
@@ -139,7 +148,7 @@ def create_adversarial_dataset(loaded, images_path: str, out_dir: str,
         x = jnp.clip(jnp.asarray(batch["image"]), 0, 1)
         y = jnp.asarray(batch["label"])
         key, sub = jax.random.split(key)
-        succ, bound, adv = attack(sub, x, y)
+        succ, bound, adv = attack(sub, loaded.defense, x, y)
         succ, bound = np.asarray(succ), np.asarray(bound)
         adv = np.asarray(adv)
         for i in range(x.shape[0]):

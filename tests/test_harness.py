@@ -152,6 +152,48 @@ def test_avae_full_conversion_parity():
                                rtol=2e-3, atol=2e-3)
 
 
+def test_create_adversarial_dataset(tiny_world):
+    """FGSM adversarial-set generation (defense passed as a jit argument,
+    never a closure): successful bound>0 adversaries land as PNGs in their
+    source class folders (reference create_adversarial_dataset.py:91-112).
+
+    The classifier is a differentiable brightness threshold that is CORRECT
+    on the clean set (class a dark, class b bright) — an untrained net
+    misclassifies everything, FGSM then reports bound-0 successes, and the
+    bound>0 filter keeps nothing."""
+    from types import SimpleNamespace
+    from PIL import Image
+    from gen_adversarial_tpu.defenses.base import ClassifierDefense
+    from gen_adversarial_tpu.search.grid import create_adversarial_dataset
+
+    data_dir, _, tmp = tiny_world
+
+    def brightness_apply(variables, x):
+        m = jnp.mean(x, axis=(1, 2, 3))
+        return jnp.stack([variables["w"] * (0.57 - m),
+                          variables["w"] * (m - 0.57)], axis=1)
+
+    loaded = SimpleNamespace(
+        image_size=64, eot_chunk=None,
+        defense=ClassifierDefense(classifier_variables={"w": jnp.float32(20.0)},
+                                  classifier_apply=brightness_apply))
+
+    out = tmp / "adv"
+    kept = create_adversarial_dataset(loaded, str(data_dir), str(out),
+                                      l2_bound=60.0, n_samples=4,
+                                      eot_steps=2, batch_size=4,
+                                      log_fn=lambda s: None)
+    files = sorted(out.rglob("*.png"))
+    assert kept == len(files) > 0
+    # class folders preserved and adversaries differ from their sources
+    for f in files:
+        assert f.parent.name in ("a", "b")
+        src = data_dir / f.parent.name / f.name
+        assert src.exists()
+        assert not np.array_equal(np.asarray(Image.open(f)),
+                                  np.asarray(Image.open(src)))
+
+
 def test_benchmark_resume_after_crash(tiny_world):
     """Per-batch progress checkpointing: a run killed mid-eval resumes from
     the first unfinished batch and produces results EXACTLY equal to an
