@@ -342,8 +342,13 @@ def bench_cw(dtype: str):
     # defense MUST be a jit argument, not a closure: closed-over weight
     # trees become program constants — the 2.7GB flagship tree as inline
     # constants OOMed the 16G chip and drove a ~30-min constant-folding
-    # compile that crashed the remote-compile relay (observed 2026-08-19)
-    @jax.jit
+    # compile that crashed the remote-compile relay (observed 2026-08-19).
+    # The chained optimizer state (w,m,v,t) is donated: each call consumes
+    # the previous call's buffers, like the production attack loop carries
+    # its state inside one program.
+    from functools import partial as _partial
+
+    @_partial(jax.jit, donate_argnums=(1, 2, 3, 4))
     def adam_step(defense, w, m, v, t, key):
         net = eot_wrap(defense, eot_steps=EOT, chunk=8)
 
@@ -370,8 +375,9 @@ def bench_cw(dtype: str):
 
     w = jnp.arctanh(jnp.clip(x, 1e-6, 1 - 1e-6) * 2.0 - 1.0)
     m, v, t = jnp.zeros_like(w), jnp.zeros_like(w), jnp.float32(0)
-    jax.block_until_ready(
-        adam_step(defense, w, m, v, t, jax.random.PRNGKey(0))[0])
+    # reassign at warmup too: the donated input buffers are dead afterwards
+    w, m, v, t = adam_step(defense, w, m, v, t, jax.random.PRNGKey(0))
+    jax.block_until_ready(w)
 
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()

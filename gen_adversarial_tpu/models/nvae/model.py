@@ -298,13 +298,16 @@ class NVAE(nn.Module):
         return -jnp.sum(lp, axis=(1, 2))
 
     def sample(self, key, num_samples: int, temperature: float = 1.0,
-               train: bool = False):
-        """Prior sampling (model.py:579-629); returns images in [0,1]."""
+               train: bool = False, dtype=jnp.float32):
+        """Prior sampling (model.py:579-629); returns images in [0,1].
+        `dtype`: prior-draw dtype — pass jnp.bfloat16 when the variables are
+        bf16-cast (core/precision), else the first conv rejects mixed dtypes."""
         cfg = self.cfg
         keys = iter(jax.random.split(key, cfg.n_latents + 2))
         r = cfg.resolution // cfg.scaling_factor
         shape = (num_samples, r, r, cfg.num_latent_per_group)
-        dist = Normal(jnp.zeros(shape), jnp.zeros(shape), temp=temperature)
+        dist = Normal(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+                      temp=temperature)
         z_0, _ = dist.sample(next(keys))
 
         def group_fn(s, g, x, latent_idx):
