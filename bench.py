@@ -52,9 +52,27 @@ if os.environ.get("GAT_BENCH_DTYPE") == "float32" and MODE == "flagship_bf16":
 EOT = 32
 
 
+_T0 = time.perf_counter()
+
+
+def _tlog(msg: str):
+    """Worker stage log on stderr (stdout carries only JSON lines): lets a
+    deadline miss be diagnosed from the supervisor's captured stderr."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
 def _timed(step, args, iters: int, per_iter_images: int):
     """Time `iters` calls of jitted `step` (already warmed), rotating the
-    key; returns img/s.  Forces execution via one scalar over all outputs."""
+    key; returns img/s.  Forces execution via one scalar over all outputs.
+
+    A SECOND forced warmup call runs before the timed window: the first
+    dispatches of a fresh program through this remote backend carry
+    one-time costs a single forced call does not flush (measured
+    2026-08-19: a 13ms stage program read 548ms/iter when timed right
+    after one warmup — tools/profile_flagship.py)."""
+    float(step(*args, jax.random.PRNGKey(2)))
+    _tlog(f"second warmup done; timing {iters} iters")
     key = jax.random.PRNGKey(1)
     t0 = time.perf_counter()
     outs = []
@@ -140,7 +158,8 @@ def _peak_hbm_gbps() -> float | None:
 
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
                    eot_chunk: int | None = None, mesh=None,
-                   scan_steps: int = 8, dtype: str = "float32"):
+                   scan_steps: int = 8, dtype: str = "float32",
+                   on_rate=None):
     """`mesh`: optional 1-D data mesh - the defense is replicated and the
     batch axis sharded over it (`batch` is then the GLOBAL batch and must
     divide by the mesh size); XLA runs the same program per chip with no
@@ -184,9 +203,17 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
         assert batch % mesh.size == 0, (batch, mesh.size)
         defense = jax.device_put(defense, replicated(mesh))
         x = jax.device_put(x, batch_sharding(mesh))
+    _tlog(f"inputs ready; compiling (batch {batch}, chunk {eot_chunk})")
     float(step(defense, x, jax.random.PRNGKey(0)))  # compile + one forced run
+    _tlog("compile + first forced run done")
     rate = _timed(step, (defense, x), iters, batch * scan_steps)
+    _tlog(f"rate measured: {rate:.2f} img/s; running cost analysis")
+    if on_rate is not None:
+        on_rate(rate)  # let the caller print a provisional line: the cost
+        # analysis below re-compiles outside jit's executable cache and can
+        # eat minutes — a deadline kill there must not lose the rate
     cost = _step_cost(step, defense, x, jax.random.PRNGKey(0))
+    _tlog("cost analysis done")
     # per-chip perf fields under a mesh (rate and cost are program-global)
     n = mesh.size if mesh is not None else 1
     return rate, _perf_fields(rate / n, cost, batch * scan_steps, dtype)
@@ -204,14 +231,26 @@ def bench_flagship(dtype: str):
     # doubles the activation footprint, OOMs above batch 16 unchunked, and
     # peaks at batch 64 with the EoT vmap chunked to 8 (10.73 img/s).
     batch, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
+    cfg = (f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
+           f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""))
+
+    def provisional(rate):
+        # fresh headline value on stdout the moment it exists — the cost
+        # analysis after it can recompile for minutes, and the supervisor
+        # deadline must never turn a measured rate into a stale line
+        print(json.dumps(_finalize({
+            "metric": "eot32_nvae_defense_images_per_sec_per_chip",
+            "value": round(rate, 2), "unit": "img/s", "dtype": dtype,
+            "config": cfg, "provisional": True})), flush=True)
+
     rate, perf = _forward_bench(defense, batch=batch, size=64,
-                                eot_chunk=chunk, dtype=dtype)
+                                eot_chunk=chunk, dtype=dtype,
+                                on_rate=provisional)
     return {
         "metric": "eot32_nvae_defense_images_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img/s", "dtype": dtype,
-        "config": f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
-                  f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""),
+        "config": cfg,
         **perf,
     }
 
@@ -244,6 +283,24 @@ def bench_flagship_dp(dtype: str):
     }
 
 
+def _apgd_remat_policy(dtype: str):
+    """Remat policy for the APGD-step bench (also the factory default for
+    memory-bound attack evals).  bf16 keeps non-batch-dim dot outputs
+    (weights-side matmul results) instead of recomputing everything:
+    measured +10% on this step (tools/tune_remat.py sweep; the policy
+    fails remote-compile under f32, which stays full remat).
+
+    `GAT_APGD_REMAT` overrides for A/B sweeps (tools/bench_queue.py items
+    like apgd_bf16@GAT_APGD_REMAT=dots_saveable); "full"/"none" = plain
+    full remat."""
+    policy = ("dots_with_no_batch_dims_saveable"
+              if dtype == "bfloat16" else None)
+    policy_env = os.environ.get("GAT_APGD_REMAT")
+    if policy_env is not None:
+        policy = None if policy_env in ("full", "none") else policy_env
+    return policy
+
+
 def bench_apgd(dtype: str):
     """Per-attack-iteration throughput: APGD-CE through the EoT-32 flagship
     defense (forward+backward per iteration - the real eval cost,
@@ -256,13 +313,7 @@ def bench_apgd(dtype: str):
     # remat: the attack backward holds EoT-32 x batch purifier activations
     # otherwise (OOMs on a 16G chip); this is also how the factory
     # configures memory-bound attack evals (eval/factory.py remat).
-    # bf16 additionally keeps non-batch-dim dot outputs (weights-side
-    # matmul results) instead of recomputing everything: measured +10% on
-    # this step (tools/tune_remat.py sweep: full-remat peak b16 = 14.9,
-    # dots_with_no_batch_dims_saveable peak b8 = 16.39 img*iter/s; the
-    # policy fails remote-compile under f32, which stays full remat).
-    policy = ("dots_with_no_batch_dims_saveable"
-              if dtype == "bfloat16" else None)
+    policy = _apgd_remat_policy(dtype)
     defense = defense.replace(remat=True, remat_policy=policy)
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
@@ -306,7 +357,8 @@ def bench_apgd(dtype: str):
         "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
-        "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, batch {BATCH}",
+        "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, "
+                  f"batch {BATCH}, remat {policy or 'full'}",
     }
 
 

@@ -38,3 +38,16 @@ def test_forward_bench_dp_batch_divisibility():
         assert False, "expected divisibility assert"
     except AssertionError as e:
         assert "9" in str(e)
+
+
+def test_apgd_remat_policy_env(monkeypatch):
+    import bench
+
+    monkeypatch.delenv("GAT_APGD_REMAT", raising=False)
+    assert bench._apgd_remat_policy("bfloat16") == \
+        "dots_with_no_batch_dims_saveable"
+    assert bench._apgd_remat_policy("float32") is None
+    monkeypatch.setenv("GAT_APGD_REMAT", "full")
+    assert bench._apgd_remat_policy("bfloat16") is None
+    monkeypatch.setenv("GAT_APGD_REMAT", "dots_saveable")
+    assert bench._apgd_remat_policy("float32") == "dots_saveable"

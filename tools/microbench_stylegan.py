@@ -34,15 +34,35 @@ from gen_adversarial_tpu.models.stylegan2.layers import (
 
 
 def timed(fn, *args, iters=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    acc = []
-    for _ in range(iters):
-        acc.append(fn(*args))
-    s = float(jnp.sum(jnp.stack([jnp.sum(jax.tree.leaves(a)[0]) for a in acc])))
-    assert np.isfinite(s)
-    return (time.perf_counter() - t0) / iters
+    """fn(*args) -> array(s); the LAST positional arg must be something the
+    caller is happy to have perturbed per call (a key or an input tensor) —
+    each iteration adds a unique epsilon so identical-input results cannot
+    be memoized by the lazy backend.  Two forced warmups + two timed
+    windows (min) flush the first-program dispatch overhead this backend
+    charges (measured 2026-08-19: an 18.5s reading for a ~5ms block when
+    timed first in the process)."""
+    def force(res):
+        s = float(jnp.sum(jnp.stack(
+            [jnp.sum(jax.tree.leaves(a)[0].astype(jnp.float32)) for a in res])))
+        assert np.isfinite(s)
+
+    def vary(i):
+        last = args[-1]
+        if last.dtype == jnp.uint32:  # a PRNG key
+            return args[:-1] + (jax.random.fold_in(last, i),)
+        return args[:-1] + (last + jnp.asarray(i * 1e-12, last.dtype),)
+
+    force([fn(*vary(0))])
+    force([fn(*vary(1))])
+    best = None
+    n = 2
+    for w in range(2):
+        t0 = time.perf_counter()
+        acc = [fn(*vary(n + w * iters + i)) for i in range(iters)]
+        force(acc)
+        dt = (time.perf_counter() - t0) / iters
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def main():
@@ -51,6 +71,10 @@ def main():
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--min-res", type=int, default=8,
+                   help="skip blocks below this resolution (run the "
+                        "1024 block in a fresh process: a full sweep's "
+                        "residual buffers OOM'd its compile 2026-08-19)")
     args = p.parse_args()
     dtype = jnp.dtype(args.dtype)
     b = args.batch
@@ -64,6 +88,8 @@ def main():
     total = 0.0
     for i in range(3, int(math.log2(args.size)) + 1):
         res = 2 ** i
+        if res < args.min_res:
+            continue
         in_ch, out_ch = ch[res // 2], ch[res]
         x = jnp.asarray(rng.rand(b, res // 2, res // 2, in_ch), dtype)
         style = jnp.asarray(rng.rand(b, 512), dtype)

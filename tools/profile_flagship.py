@@ -45,17 +45,28 @@ def _scalar(x):
 
 
 def timed(fn, args, iters=5):
-    float(fn(*args, jax.random.PRNGKey(0)))  # compile + force
+    """Two forced warmup calls, then two timed windows; report the min.
+
+    One warmup + one window systematically inflated the FIRST stage timed
+    in a process ~10x (flagship encode read 548ms standalone vs ~13ms
+    implied inside the fused purify program, 2026-08-19): the first
+    dispatches of a fresh program through this remote backend carry
+    one-time costs the single forced warmup does not flush."""
+    for k in (0, 2):
+        float(fn(*args, jax.random.PRNGKey(k)))  # compile + force
     key = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
-    acc = []
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        acc.append(fn(*args, sub))
-    s = float(jnp.sum(jnp.stack(acc)))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(s), s
-    return dt
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            acc.append(fn(*args, sub))
+        s = float(jnp.sum(jnp.stack(acc)))
+        dt = (time.perf_counter() - t0) / iters
+        assert np.isfinite(s), s
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def cost(fn, *args):

@@ -38,18 +38,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def timed(fn, args, iters=5):
-    """fn(*args, key) must be jitted and return a finite f32 scalar."""
-    float(fn(*args, jax.random.PRNGKey(0)))  # compile + force
+    """fn(*args, key) must be jitted and return a finite f32 scalar.
+
+    Two forced warmup calls, then two timed windows; report the min — a
+    single warmup systematically inflated the FIRST stage timed in a
+    process ~10x (gender encode read 473ms standalone vs <=132ms for the
+    whole purify+classify chunk containing it, 2026-08-19): the first
+    dispatches of a fresh program through this remote backend carry
+    one-time costs one forced call does not flush."""
+    for k in (0, 2):
+        float(fn(*args, jax.random.PRNGKey(k)))  # compile + force
     key = jax.random.PRNGKey(1)
-    t0 = time.perf_counter()
-    acc = []
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        acc.append(fn(*args, sub))
-    s = float(jnp.sum(jnp.stack(acc)))
-    dt = (time.perf_counter() - t0) / iters
-    assert np.isfinite(s), s
-    return dt
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        acc = []
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            acc.append(fn(*args, sub))
+        s = float(jnp.sum(jnp.stack(acc)))
+        dt = (time.perf_counter() - t0) / iters
+        assert np.isfinite(s), s
+        best = dt if best is None else min(best, dt)
+    return best
 
 
 def _scalar(x):
