@@ -153,16 +153,37 @@ class Generator(nn.Module):
                          weights_delta=weights_deltas[0])
         skip = self.to_rgb1(out, latent[:, 1], weights_delta=weights_deltas[1])
 
+        # phase-domain (space-to-depth) top blocks: at resolutions where
+        # out_ch < 128 the whole block runs in (H/2, W/2, 4C) layout —
+        # full TPU lanes, no 2Hx2W materialization (ops/phase_block.py;
+        # gated by GAT_SG2_PHASE_MIN_RES, layers.phase_min_res)
+        from gen_adversarial_tpu.models.stylegan2.layers import phase_min_res
+        from gen_adversarial_tpu.ops.phase_block import depth_to_space
+        min_res = phase_min_res()
+
         i, widx = 1, 2
+        out_is_phase = False
         for j in range(0, len(self.convs), 2):
             conv1, conv2 = self.convs[j], self.convs[j + 1]
             to_rgb = self.to_rgbs[j // 2]
+            res = 2 ** (3 + j // 2)
+            use_phase = (res >= min_res and conv1.out_channels < 128
+                         and weights_deltas[widx] is None
+                         and weights_deltas[widx + 1] is None
+                         and weights_deltas[widx + 2] is None)
+            if out_is_phase:
+                out = depth_to_space(out)  # conv1 consumes logical layout
+                out_is_phase = False
             out = conv1(out, latent[:, i], noise=noise[j + 1], key=keys[j + 1],
-                        weights_delta=weights_deltas[widx])
+                        weights_delta=weights_deltas[widx],
+                        phase_out=use_phase)
             out = conv2(out, latent[:, i + 1], noise=noise[j + 2], key=keys[j + 2],
-                        weights_delta=weights_deltas[widx + 1])
+                        weights_delta=weights_deltas[widx + 1],
+                        phase_in=use_phase, phase_out=use_phase)
             skip = to_rgb(out, latent[:, i + 2], skip,
-                          weights_delta=weights_deltas[widx + 2])
+                          weights_delta=weights_deltas[widx + 2],
+                          phase_in=use_phase)
+            out_is_phase = use_phase
             i += 2
             widx += 3
 

@@ -55,6 +55,18 @@ _PALLAS_BLUR_MAX_H = 96
 _BLUR_2D_MIN_H = int(os.environ.get("GAT_BLUR_2D_MIN_H", "0")) or 10 ** 9
 
 
+def phase_min_res() -> int:
+    """Resolution threshold for the phase-domain (space-to-depth) top-block
+    path (ops/phase_block.py): generator blocks with logical resolution
+    >= this AND out_channels < 128 carry their activations in (H/2, W/2, 4C)
+    phase layout end-to-end — full 128-wide lanes where the logical channel
+    count would waste them.  Default 1024 (the measured end-to-end winner:
+    gender EoT-32 3.70 -> 5.50 img/s on v5e; min_res=512 measured 5.29, so
+    the 512 block stays logical).  Set GAT_SG2_PHASE_MIN_RES=0 to disable.
+    Read at trace time so tests can monkeypatch."""
+    return int(os.environ.get("GAT_SG2_PHASE_MIN_RES", "1024")) or 10 ** 9
+
+
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):
     """Blur module (generator.py:50-66): separable FIR, kernel scaled by
     factor^2 when following an upsampling conv."""
@@ -171,8 +183,14 @@ class ModulatedConv2d(nn.Module):
     blur_kernel: tuple = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x, style, weights_delta=None):
-        b, h, w, in_ch = x.shape
+    def __call__(self, x, style, weights_delta=None,
+                 phase_in: bool = False, phase_out: bool = False):
+        """phase_in/phase_out: the activation enters/leaves in the
+        space-to-depth phase layout (ops/phase_block.py) — supported for
+        the generator-block shapes (upsample k=3 with logical input,
+        stride-1 k=3, and the 1x1 ToRGB input); per-sample weights_delta
+        keeps the logical path."""
+        in_ch = x.shape[-1] // (4 if phase_in else 1)
         k = self.kernel_size
         weight = self.param("weight", nn.initializers.normal(1.0),
                             (k, k, in_ch, self.out_channels))
@@ -180,6 +198,8 @@ class ModulatedConv2d(nn.Module):
         style = EqualLinear(in_ch, bias_init=1.0, name="modulation")(style)  # (B, in)
 
         if weights_delta is not None:
+            assert not (phase_in or phase_out), \
+                "weights_delta uses the logical per-sample path"
             return self._per_sample_path(x, weight, style, weights_delta, scale)
 
         if self.demodulate:
@@ -187,6 +207,11 @@ class ModulatedConv2d(nn.Module):
             w2 = (scale * weight) ** 2                       # (k,k,in,out)
             sum_ki = jnp.einsum("hwio,bi->bo", w2, style ** 2)
             demod = lax.rsqrt(sum_ki + 1e-8)                 # (B, out)
+
+        if phase_in or phase_out:
+            return self._phase_path(
+                x, weight, style, scale,
+                demod if self.demodulate else None, phase_in, phase_out)
 
         xs = x * style[:, None, None, :]
 
@@ -238,6 +263,55 @@ class ModulatedConv2d(nn.Module):
                 y = y * demod[:, None, None, :]
         return y
 
+    def _phase_path(self, x, weight, style, scale, demod,
+                    phase_in: bool, phase_out: bool):
+        """Phase-domain (space-to-depth) formulations — algebraically
+        identical to the logical paths above, pinned by
+        tests/test_phase_block.py:
+
+        - upsample (logical in, phase out): the conv_transpose + post-blur
+          composite is one dense 3x3 conv at the INPUT resolution producing
+          the 4 output phases stacked in channels
+          (ops/phase_upsample.fused_upsample_kernel); demod is per logical
+          out-channel, so it commutes with the blur and tiles 4x.
+        - stride-1 k=3 (phase in, phase out): the lifted
+          phase_conv3x3_kernel, 4x the logical FLOPs at 4x lane fill.
+        - 1x1 (ToRGB; phase in, phase OUT): block-diagonal
+          phase_conv1x1_kernel; the caller depth-to-spaces the 3-channel
+          result.
+        """
+        from gen_adversarial_tpu.ops.phase_block import (
+            phase_conv1x1_kernel, phase_conv3x3_kernel, phase_tile_channels)
+        from gen_adversarial_tpu.ops.phase_upsample import (
+            fused_upsample_kernel)
+
+        k = self.kernel_size
+        assert not self.downsample, "phase path covers generator blocks only"
+        style_v = phase_tile_channels(style) if phase_in else style
+        xs = x * style_v[:, None, None, :]
+
+        if self.upsample:
+            assert k == 3 and not phase_in and phase_out
+            pk = fused_upsample_kernel(weight * scale, self.blur_kernel)
+            y = lax.conv_general_dilated(
+                xs, pk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        elif k == 3:
+            assert phase_in and phase_out
+            pw = phase_conv3x3_kernel(weight * scale)
+            y = lax.conv_general_dilated(
+                xs, pw.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            assert k == 1 and phase_in
+            pw = phase_conv1x1_kernel(weight * scale)
+            y = lax.conv_general_dilated(
+                xs, pw.astype(x.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if demod is not None:
+            y = y * phase_tile_channels(demod)[:, None, None, :]
+        return y
+
     def _per_sample_path(self, x, weight, style, weights_delta, scale):
         """weights_delta support (E4E hypernetwork editing,
         generator.py:167-170): exact per-sample weights via vmap."""
@@ -279,14 +353,27 @@ class ModulatedConv2d(nn.Module):
 
 
 class NoiseInjection(nn.Module):
-    """image + weight * noise (generator.py:210-222)."""
+    """image + weight * noise (generator.py:210-222).
+
+    phase=True: `image` is in space-to-depth layout (B, H/2, W/2, 4C); the
+    noise is still drawn/stored at the LOGICAL (B, H, W, 1) shape — same
+    PRNG bits as the logical path — and converted, so outputs are
+    bit-identical up to layout."""
 
     @nn.compact
-    def __call__(self, image, noise=None, key=None):
+    def __call__(self, image, noise=None, key=None, phase: bool = False):
         w = self.param("weight", nn.initializers.zeros, (1,))
+        if noise is None and key is None:
+            return image  # noise explicitly disabled
+        if phase:
+            from gen_adversarial_tpu.ops.phase_block import (
+                phase_broadcast_noise)
+            b, hh, wd, c4 = image.shape
+            if noise is None:
+                noise = jax.random.normal(key, (b, 2 * hh, 2 * wd, 1),
+                                          image.dtype)
+            return image + w * phase_broadcast_noise(noise, c4 // 4)
         if noise is None:
-            if key is None:
-                return image  # noise explicitly disabled
             b, h, wd, c = image.shape
             noise = jax.random.normal(key, (b, h, wd, 1), image.dtype)
         return image + w * noise
@@ -301,14 +388,20 @@ class StyledConv(nn.Module):
     demodulate: bool = True
 
     @nn.compact
-    def __call__(self, x, style, noise=None, key=None, weights_delta=None):
+    def __call__(self, x, style, noise=None, key=None, weights_delta=None,
+                 phase_in: bool = False, phase_out: bool = False):
         y = ModulatedConv2d(self.out_channels, self.kernel_size,
                             demodulate=self.demodulate, upsample=self.upsample,
                             blur_kernel=self.blur_kernel, name="conv")(
-            x, style, weights_delta)
-        y = NoiseInjection(name="noise")(y, noise=noise, key=key)
+            x, style, weights_delta, phase_in=phase_in, phase_out=phase_out)
+        y = NoiseInjection(name="noise")(y, noise=noise, key=key,
+                                         phase=phase_out)
         bias = self.param("activate_bias", nn.initializers.zeros,
                           (self.out_channels,))
+        if phase_out:
+            from gen_adversarial_tpu.ops.phase_block import (
+                phase_tile_channels)
+            bias = phase_tile_channels(bias)
         return fused_leaky_relu(y, bias)
 
 
@@ -318,9 +411,21 @@ class ToRGB(nn.Module):
     blur_kernel: tuple = (1, 3, 3, 1)
 
     @nn.compact
-    def __call__(self, x, style, skip=None, weights_delta=None):
-        y = ModulatedConv2d(3, 1, demodulate=False, name="conv")(x, style, weights_delta)
-        y = y + self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+    def __call__(self, x, style, skip=None, weights_delta=None,
+                 phase_in: bool = False):
+        y = ModulatedConv2d(3, 1, demodulate=False, name="conv")(
+            x, style, weights_delta, phase_in=phase_in)
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        if phase_in:
+            # 1x1 conv output is phase-RGB (B, H/2, W/2, 12): add the bias
+            # tiled over phases, then leave the phase domain — RGB is only
+            # 3 channels, so this is the cheap place to relayout
+            from gen_adversarial_tpu.ops.phase_block import (
+                depth_to_space, phase_tile_channels)
+            y = y + phase_tile_channels(bias.reshape(3))
+            y = depth_to_space(y)
+        else:
+            y = y + bias
         if skip is not None:
             skip = upsample_fir(skip, self.blur_kernel)
             y = y + skip
