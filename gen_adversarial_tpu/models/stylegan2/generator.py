@@ -159,7 +159,7 @@ class Generator(nn.Module):
         # gated by GAT_SG2_PHASE_MIN_RES, layers.phase_min_res)
         from gen_adversarial_tpu.models.stylegan2.layers import phase_min_res
         from gen_adversarial_tpu.ops.phase_block import depth_to_space
-        min_res = phase_min_res()
+        min_res = phase_min_res(default=self.size)
 
         i, widx = 1, 2
         out_is_phase = False

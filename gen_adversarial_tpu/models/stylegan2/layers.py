@@ -55,16 +55,22 @@ _PALLAS_BLUR_MAX_H = 96
 _BLUR_2D_MIN_H = int(os.environ.get("GAT_BLUR_2D_MIN_H", "0")) or 10 ** 9
 
 
-def phase_min_res() -> int:
+def phase_min_res(default: int) -> int:
     """Resolution threshold for the phase-domain (space-to-depth) top-block
     path (ops/phase_block.py): generator blocks with logical resolution
     >= this AND out_channels < 128 carry their activations in (H/2, W/2, 4C)
     phase layout end-to-end — full 128-wide lanes where the logical channel
-    count would waste them.  Default 1024 (the measured end-to-end winner:
-    gender EoT-32 3.70 -> 5.50 img/s on v5e; min_res=512 measured 5.29, so
-    the 512 block stays logical).  Set GAT_SG2_PHASE_MIN_RES=0 to disable.
-    Read at trace time so tests can monkeypatch."""
-    return int(os.environ.get("GAT_SG2_PHASE_MIN_RES", "1024")) or 10 ** 9
+    count would waste them.
+
+    `default` is the generator's own output size, i.e. by default only the
+    TOP block runs phased — the measured end-to-end winner on v5e for both
+    phased paths: gender (1024-px top, 32ch) EoT-32 3.70 -> 5.50 img/s
+    (min_res=512, which also phases the mid-stack 512 block, measured 5.29
+    — it pays two extra relayouts); cars (512-px top, 64ch) 10.72 -> 12.48.
+    GAT_SG2_PHASE_MIN_RES overrides for A/Bs; 0 disables.  Read at trace
+    time so tests can monkeypatch."""
+    v = os.environ.get("GAT_SG2_PHASE_MIN_RES", "")
+    return (int(v) if v else default) or 10 ** 9
 
 
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):

@@ -152,7 +152,7 @@ def test_generator_phase_path_matches_default(monkeypatch):
                            noise_key=nkey)
         return img
 
-    monkeypatch.delenv("GAT_SG2_PHASE_MIN_RES", raising=False)
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")  # logical path
     ref = run()
     monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "16")
     got = run()
@@ -166,7 +166,7 @@ def test_generator_phase_path_matches_default(monkeypatch):
         return img
 
     got_b = run_buffers()
-    monkeypatch.delenv("GAT_SG2_PHASE_MIN_RES", raising=False)
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")  # logical path
     ref_b = run_buffers()
     np.testing.assert_allclose(np.asarray(got_b), np.asarray(ref_b),
                                rtol=2e-4, atol=2e-5)
@@ -189,7 +189,7 @@ def test_generator_phase_path_grads_match(monkeypatch):
         img, _ = gen.apply(variables, [z], randomize_noise=False)
         return jnp.sum(img ** 2)
 
-    monkeypatch.delenv("GAT_SG2_PHASE_MIN_RES", raising=False)
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")  # logical path
     g_ref = jax.grad(loss)(z0)
     monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "8")
     g_phase = jax.grad(loss)(z0)
