@@ -187,9 +187,14 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
     unremovable) — peak HBM stays at the single-forward profile."""
     from gen_adversarial_tpu.defenses.eot import eot_wrap
 
+    # A/B knob: GAT_SHARED_ENCODE=0 forces the naive per-draw recompute even
+    # when the defense supports encode sharing (eps == 0 configs)
+    shared = os.environ.get("GAT_SHARED_ENCODE", "1") != "0"
+
     @jax.jit
     def step(defense, x, key):
-        net = eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)
+        net = eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk,
+                       shared_encode=shared)
         keys = jax.random.split(key, scan_steps)
         acc = jnp.float32(0.0)
         for i in range(scan_steps):
@@ -221,7 +226,12 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
 
 def bench_flagship(dtype: str):
     from __graft_entry__ import _flagship
-    defense = _flagship()
+    # GAT_EPS=0 measures the no_preprocessing/blur config variants (27/45
+    # configs): deterministic preprocessing enables the shared-encode EoT
+    # path (one encoder pass per image instead of 32, defenses/eot.py).
+    # Default 2.0 = the ours_*_noise_ids configs (per-draw input noise).
+    eps = float(os.environ.get("GAT_EPS", "2.0"))
+    defense = _flagship(initial_noise_eps=eps)
     if dtype == "bfloat16":
         from gen_adversarial_tpu.core.precision import defense_astype
         defense = defense_astype(defense)
@@ -231,8 +241,10 @@ def bench_flagship(dtype: str):
     # doubles the activation footprint, OOMs above batch 16 unchunked, and
     # peaks at batch 64 with the EoT vmap chunked to 8 (10.73 img/s).
     batch, chunk = (96, None) if dtype == "bfloat16" else (64, 8)
+    batch = int(os.environ.get("GAT_TASK_BATCH", batch))
     cfg = (f"ids flagship: NVAE c32/24-groups 64px + vgg11_bn/100, "
-           f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else ""))
+           f"batch {batch}" + (f", eot-chunk {chunk}" if chunk else "")
+           + (f", eps {eps:g} (shared-encode EoT)" if eps == 0 else ""))
 
     def provisional(rate):
         # fresh headline value on stdout the moment it exists — the cost
@@ -568,34 +580,40 @@ def _synth_mlvgm_defense(task: str):
     key = jax.random.PRNGKey(0)
     if task == "gender":
         from gen_adversarial_tpu.models.e4e.psp import PSP
-        from gen_adversarial_tpu.defenses.purify import make_e4e_purify
+        from gen_adversarial_tpu.defenses.purify import make_e4e_purify_split
         model = PSP(stylegan_size=1024)
         x0 = jnp.zeros((1, 256, 256, 3))
         variables = _synth_variables(
             lambda k, x: model.init(k, x, method=PSP.init_all), key, x0,
             cache_key="psp_1024")
-        purify_apply, n_alphas, size, n_classes, clf = (
-            make_e4e_purify(model), 18, 256, 2, "resnet")
+        split, n_alphas, size, n_classes, clf = (
+            make_e4e_purify_split(model), 18, 256, 2, "resnet")
     else:
         from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
-        from gen_adversarial_tpu.defenses.purify import make_trans_purify
+        from gen_adversarial_tpu.defenses.purify import make_trans_purify_split
         model = StyleTransformer(output_size=512)
         x0 = jnp.zeros((1, 192, 256, 3))
         variables = _synth_variables(
             lambda k, x: model.init(k, x), key, x0, cache_key="trans_512")
-        purify_apply, n_alphas, size, n_classes, clf = (
-            make_trans_purify(model), 16, 128, 4, "resnext")
+        split, n_alphas, size, n_classes, clf = (
+            make_trans_purify_split(model), 16, 128, 4, "resnext")
 
     clf_model = make_classifier(clf, n_classes)
     clf_vars = _synth_variables(
         lambda k, x: clf_model.init(k, x, train=False), key,
         jnp.zeros((1, size, size, 3)), cache_key=f"{clf}_{task}")
     alphas = jnp.linspace(0.04, 1.0, n_alphas) * (1.0 if task == "gender" else 0.7)
+    from gen_adversarial_tpu.defenses.purify import _compose
+    encode_apply, decode_apply = split
+    # GAT_EPS=0 = the no_preprocessing/blur config variants (shared-encode
+    # EoT path); default 4.0 = the ours_*_noise configs
+    eps = float(os.environ.get("GAT_EPS", "4.0"))
     return MLVGMDefense(
         purify_variables=variables, classifier_variables=clf_vars,
-        alphas=alphas, purify_apply=purify_apply,
+        alphas=alphas, purify_apply=_compose(encode_apply, decode_apply),
+        purify_encode_apply=encode_apply, purify_decode_apply=decode_apply,
         classifier_apply=make_classifier_apply(clf_model), image_size=size,
-        initial_noise_eps=4.0, normalize_before_purify=True)
+        initial_noise_eps=eps, normalize_before_purify=True)
 
 
 def bench_task(task: str, dtype: str):
@@ -630,7 +648,9 @@ def bench_task(task: str, dtype: str):
         **perf,
         "config": (f"gender: E4E+StyleGAN2-1024 + resnet50/2, batch {batch}, eot-chunk {chunk}"
                    if task == "gender"
-                   else f"cars: StyleTransformer-512 + resnext50/4, batch {batch}, eot-chunk {chunk}"),
+                   else f"cars: StyleTransformer-512 + resnext50/4, batch {batch}, eot-chunk {chunk}")
+        + (", eps 0 (shared-encode EoT)"
+           if defense.initial_noise_eps == 0 else ""),
     }
 
 

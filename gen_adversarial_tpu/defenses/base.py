@@ -69,6 +69,14 @@ class MLVGMDefense:
     # (variables, alphas, key, x_normalized) -> purified (normalized domain)
     purify_apply: Callable = struct.field(pytree_node=False)
     classifier_apply: Callable = struct.field(pytree_node=False)
+    # optional encode/decode halves of purify_apply (defenses/purify.py
+    # make_*_purify_split): encode consumes no randomness, so when the
+    # input preprocessing is ALSO deterministic (initial_noise_eps == 0,
+    # 27/45 configs) an EoT wrapper shares one encode across all draws
+    # (defenses/eot.py) — result-identical, and the encoder tower is
+    # 20-30%% of the pipeline (BASELINE.md stage roofline)
+    purify_encode_apply: Any = struct.field(pytree_node=False, default=None)
+    purify_decode_apply: Any = struct.field(pytree_node=False, default=None)
     image_size: int = struct.field(pytree_node=False, default=64)
     initial_noise_eps: float = struct.field(pytree_node=False, default=0.0)
     apply_blur: bool = struct.field(pytree_node=False, default=False)
@@ -104,6 +112,13 @@ class MLVGMDefense:
             x = clamp01(x)
         return x
 
+    def _maybe_remat(self, apply):
+        if not self.remat:
+            return apply
+        policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                  if self.remat_policy else None)
+        return jax.checkpoint(apply, policy=policy)
+
     def purified(self, key, x):
         k_noise, k_purify = jax.random.split(key)
         x = self.preprocess(k_noise, x)
@@ -111,15 +126,51 @@ class MLVGMDefense:
             x = x.astype(self.compute_dtype)
         if self.normalize_before_purify:
             x = (x - 0.5) / 0.5
-        apply = self.purify_apply
-        if self.remat:
-            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
-                      if self.remat_policy else None)
-            apply = jax.checkpoint(apply, policy=policy)
-        out = apply(self.purify_variables, self.alphas, k_purify, x)
+        out = self._maybe_remat(self.purify_apply)(
+            self.purify_variables, self.alphas, k_purify, x)
         if self.normalize_before_purify:
             out = out * 0.5 + 0.5
         return out
+
+    # ---- shared-encode path (EoT cross-draw CSE, defenses/eot.py) ----
+    @property
+    def supports_shared_encode(self) -> bool:
+        """True when purify splits into a deterministic encode + stochastic
+        decode AND preprocessing is deterministic: every EoT draw then sees
+        the identical encode, so it can run once.  initial_noise_eps > 0
+        randomizes the encoder INPUT per draw — no sharing there."""
+        return (self.purify_encode_apply is not None
+                and self.purify_decode_apply is not None
+                and self.initial_noise_eps == 0)
+
+    def purify_state(self, x):
+        """Run preprocessing + the deterministic encode half once.
+        Only valid when supports_shared_encode."""
+        x = self.preprocess(None, x)  # eps == 0: the key is never consumed
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        if self.normalize_before_purify:
+            x = (x - 0.5) / 0.5
+        return self._maybe_remat(self.purify_encode_apply)(
+            self.purify_variables, x)
+
+    def purified_from_state(self, key, state):
+        """Stochastic decode half; key-split mirrors `purified` exactly so
+        per-draw results are identical to the unshared path."""
+        _, k_purify = jax.random.split(key)
+        out = self._maybe_remat(self.purify_decode_apply)(
+            self.purify_variables, self.alphas, k_purify, state)
+        if self.normalize_before_purify:
+            out = out * 0.5 + 0.5
+        return out
+
+    def state_call(self, key, state, preds_only: bool = True):
+        purified = self.purified_from_state(key, state)
+        logits = self.classifier_apply(self.classifier_variables, purified)
+        logits = logits.astype(jnp.float32)
+        if preds_only:
+            return logits
+        return logits, purified.astype(jnp.float32)
 
     def __call__(self, key, x, preds_only: bool = True):
         purified = self.purified(key, x)

@@ -6,7 +6,14 @@ Each factory takes only the (static) model definition and returns a pure
 normalized domain ([-1,1] for the StyleGAN families, [0,1] for NVAE which
 normalizes internally).  Variables and alphas stay jit arguments (see
 defenses/base.py).
-"""
+
+Every family also exposes a `make_*_purify_split(model)` returning
+    encode_apply(variables, x) -> state
+    decode_apply(variables, alphas, key, state) -> purified
+with purify == decode(encode(x)) by construction: the encode half consumes
+no randomness, so an EoT wrapper can run it ONCE per image and share the
+state across all stochastic draws (defenses/eot.py) — the reference
+recomputes the whole pipeline per EoT repeat (wrappers.py:14-16)."""
 
 import jax
 import jax.numpy as jnp
@@ -28,28 +35,45 @@ def _mix_codes(key, style_fn, codes, alphas, noise_std: float):
     return jnp.transpose(mixed, (1, 0, 2))
 
 
-def make_e4e_purify(model: PSP):
-    """E4E defense purify (ours/models.py:105-132): encode -> per-layer mix
-    with freshly sampled styles -> decode (fixed noise buffers)."""
-
+def _compose(encode_apply, decode_apply):
     def purify_apply(variables, alphas, key, x):
-        codes = model.apply(variables, x, method=PSP.encode)
+        return decode_apply(variables, alphas, key, encode_apply(variables, x))
+    return purify_apply
+
+
+def make_e4e_purify_split(model: PSP):
+    """E4E defense purify (ours/models.py:105-132) as encode/decode halves:
+    encode -> per-layer mix with freshly sampled styles -> decode (fixed
+    noise buffers)."""
+
+    def encode_apply(variables, x):
+        return model.apply(variables, x, method=PSP.encode)
+
+    def decode_apply(variables, alphas, key, codes):
         style_fn = lambda z: model.apply(variables, z, method=PSP.style)
         codes = _mix_codes(key, style_fn, codes, alphas, 1.0)
         return model.apply(variables, codes, method=PSP.decode)
 
-    return purify_apply
+    return encode_apply, decode_apply
 
 
-def make_trans_purify(model: StyleTransformer):
-    """Style-Transformer defense purify (ours/models.py:299-353): resize 256
-    + letterbox crop -> query-token encode -> mix with style(N(0, 0.8)) ->
-    decode -> blank letterbox rows -> resize 128."""
+def make_e4e_purify(model: PSP):
+    """E4E defense purify (ours/models.py:105-132)."""
+    return _compose(*make_e4e_purify_split(model))
 
-    def purify_apply(variables, alphas, key, x):
+
+def make_trans_purify_split(model: StyleTransformer):
+    """Style-Transformer defense purify (ours/models.py:299-353) as
+    encode/decode halves: resize 256 + letterbox crop -> query-token encode
+    | mix with style(N(0, 0.8)) -> decode -> blank letterbox rows ->
+    resize 128."""
+
+    def encode_apply(variables, x):
         x = resize_bilinear(x, 256, 256)
         x = x[:, 32:-32, :, :]
-        codes = model.apply(variables, x, method=StyleTransformer.encode)
+        return model.apply(variables, x, method=StyleTransformer.encode)
+
+    def decode_apply(variables, alphas, key, codes):
         style_fn = lambda z: model.apply(variables, z, method=StyleTransformer.style)
         codes = _mix_codes(key, style_fn, codes, alphas, 0.8)
         images = model.apply(variables, codes, method=StyleTransformer.decode)
@@ -57,15 +81,29 @@ def make_trans_purify(model: StyleTransformer):
         images = images.at[:, -32:].set(-1.0)
         return resize_bilinear(images, 128, 128)
 
-    return purify_apply
+    return encode_apply, decode_apply
+
+
+def make_trans_purify(model: StyleTransformer):
+    """Style-Transformer defense purify (ours/models.py:299-353)."""
+    return _compose(*make_trans_purify_split(model))
+
+
+def make_nvae_purify_split(model: NVAE, temperature: float = 0.6):
+    """NVAE defense purify (ours/models.py:160-274) as encode/decode halves;
+    operates on [0,1] images directly (the NVAE normalizes internally).
+    state = (feats dict, top feature)."""
+
+    def encode_apply(variables, x):
+        return model.apply(variables, x, method=NVAE.purify_encode)
+
+    def decode_apply(variables, alphas, key, state):
+        return model.apply(variables, state, key, alphas, temperature,
+                           method=NVAE.purify_decode)
+
+    return encode_apply, decode_apply
 
 
 def make_nvae_purify(model: NVAE, temperature: float = 0.6):
-    """NVAE defense purify (ours/models.py:160-274); operates on [0,1]
-    images directly (the NVAE normalizes internally)."""
-
-    def purify_apply(variables, alphas, key, x):
-        return model.apply(variables, x, key, alphas, temperature,
-                           method=NVAE.purify)
-
-    return purify_apply
+    """NVAE defense purify (ours/models.py:160-274)."""
+    return _compose(*make_nvae_purify_split(model, temperature))

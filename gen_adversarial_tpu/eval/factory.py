@@ -26,7 +26,8 @@ from gen_adversarial_tpu.defenses.ablations import (
 from gen_adversarial_tpu.defenses.competitors import AVaeDefense, NDVaeDefense
 from gen_adversarial_tpu.defenses.eot import eot_wrap
 from gen_adversarial_tpu.defenses.purify import (
-    make_e4e_purify, make_nvae_purify, make_trans_purify)
+    make_e4e_purify_split, make_nvae_purify_split, make_trans_purify_split,
+    _compose)
 from gen_adversarial_tpu.models.classifiers import make_classifier
 from gen_adversarial_tpu.attacks import deepfool_attack, cw_attack, autoattack
 
@@ -127,7 +128,8 @@ def load_defense(config_path: str, eot_steps: int = 32,
         # attenuation pre-applied (abstract_models.py:107)
         alphas = jnp.asarray(cfg.interpolation_alphas) * cfg.alpha_attenuation
         variables, meta = load_variables(cfg.autoencoder_path)
-        purify_apply, normalize, transform = _ours_components(experiment, meta)
+        (encode_apply, decode_apply), normalize, transform = \
+            _ours_components(experiment, meta)
         if remat is None:
             # the high-res StyleGAN purifiers OOM under class-jacobian
             # attacks without rematerialization; the 64px NVAE does not
@@ -138,8 +140,9 @@ def load_defense(config_path: str, eot_steps: int = 32,
             remat = True
         defense = MLVGMDefense(
             purify_variables=transform(variables), classifier_variables=clf_vars,
-            alphas=alphas, purify_apply=purify_apply,
+            alphas=alphas, purify_apply=_compose(encode_apply, decode_apply),
             classifier_apply=clf_apply, image_size=image_size,
+            purify_encode_apply=encode_apply, purify_decode_apply=decode_apply,
             initial_noise_eps=cfg.initial_noise_eps,
             apply_blur=cfg.gaussian_blur_input,
             normalize_before_purify=normalize, remat=remat,
@@ -157,12 +160,13 @@ def load_defense(config_path: str, eot_steps: int = 32,
 
 
 def _ours_components(experiment: str, meta: dict):
-    """-> (purify_apply, normalize_before_purify, variables_transform)."""
+    """-> ((encode_apply, decode_apply), normalize_before_purify,
+    variables_transform)."""
     identity = lambda v: v
     if experiment == "gender":
         from gen_adversarial_tpu.models.e4e.psp import PSP
         model = PSP(stylegan_size=1024)
-        return make_e4e_purify(model), True, identity
+        return make_e4e_purify_split(model), True, identity
     if experiment == "ids":
         from gen_adversarial_tpu.models.nvae.model import NVAE, NVAEConfig
         nv_cfg = NVAEConfig(**meta["config"]) if "config" in meta else NVAEConfig()
@@ -174,10 +178,10 @@ def _ours_components(experiment: str, meta: dict):
         # stays the default and scanned remains opt-in for
         # compile-time-constrained contexts.
         model = NVAE(nv_cfg)
-        return make_nvae_purify(model), False, identity
+        return make_nvae_purify_split(model), False, identity
     from gen_adversarial_tpu.models.style_transformer.model import StyleTransformer
     model = StyleTransformer(output_size=512)
-    return make_trans_purify(model), True, identity
+    return make_trans_purify_split(model), True, identity
 
 
 def load_ours_for_search(config_path: str):
@@ -191,14 +195,17 @@ def load_ours_for_search(config_path: str):
     image_size = IMAGE_SIZE[experiment]
     clf_apply, clf_vars = load_classifier_parts(experiment, cfg.classifier_path)
     variables, meta = load_variables(cfg.autoencoder_path)
-    purify_apply, normalize, transform = _ours_components(experiment, meta)
+    (encode_apply, decode_apply), normalize, transform = \
+        _ours_components(experiment, meta)
     variables = transform(variables)
 
     def make_defense(alphas):
         return MLVGMDefense(
             purify_variables=variables, classifier_variables=clf_vars,
-            alphas=jnp.asarray(alphas), purify_apply=purify_apply,
+            alphas=jnp.asarray(alphas),
+            purify_apply=_compose(encode_apply, decode_apply),
             classifier_apply=clf_apply, image_size=image_size,
+            purify_encode_apply=encode_apply, purify_decode_apply=decode_apply,
             initial_noise_eps=0.0, apply_blur=False,
             normalize_before_purify=normalize)
 

@@ -347,6 +347,14 @@ class NVAE(nn.Module):
         out = dm.mean() if deterministic else dm.sample(next(keys))
         return out * 0.5 + 0.5
 
+    def purify_encode(self, x, train: bool = False):
+        """Deterministic half of `purify`: preprocess + the full encoder
+        tower.  Split out so EoT wrappers can run it ONCE per image and
+        share the result across all stochastic draws (the reference
+        recomputes it per EoT repeat, wrappers.py:14-16 — the encoder
+        consumes no randomness, so sharing is result-identical)."""
+        return self._encode_tower(self._preprocess(x, train), train)
+
     def purify(self, x, key, alphas, temperature: float = 0.6,
                train: bool = False):
         """THE defense op (ours/models.py:160-274): per-group interpolation
@@ -356,11 +364,18 @@ class NVAE(nn.Module):
         abstract_models.py:107).  Returns images in [0,1] via the
         DiscMixLogistic mean.
         """
+        return self.purify_decode(self.purify_encode(x, train), key, alphas,
+                                  temperature, train)
+
+    def purify_decode(self, state, key, alphas, temperature: float = 0.6,
+                      train: bool = False):
+        """Stochastic half of `purify`: per-group interpolation + decode,
+        consuming the shared `state = purify_encode(x)`."""
         cfg = self.cfg
-        b = x.shape[0]
+        feats, top = state
+        b = top.shape[0]
         alphas = jnp.asarray(alphas)
         keys = iter(jax.random.split(key, cfg.n_latents + 1))
-        feats, top = self._encode_tower(self._preprocess(x, train), train)
 
         mu_q, log_sig_q = jnp.split(self.enc_sampler["0_0"](top), 2, axis=-1)
         dist_enc = Normal(mu_q, log_sig_q)

@@ -152,16 +152,55 @@ def test_eot_chunk_validation():
         eot_wrap(d, eot_steps=32, chunk=5)(key, x)
 
 
-def test_eot_chunk_validation():
-    """chunk >= eot_steps degrades to unchunked; a non-divisor raises."""
-    w, apply = _linear_classifier()
-    d = GaussianNoiseDefense(w, apply, eps=1.0)
-    x = jnp.full((1, 8, 8, 3), 0.5)
-    key = jax.random.PRNGKey(0)
-    out = eot_wrap(d, eot_steps=1, chunk=8)(key, x)  # factory's forced-1 case
-    assert out.shape == (1, 4)
-    with pytest.raises(ValueError):
-        eot_wrap(d, eot_steps=32, chunk=5)(key, x)
+def _split_nvae_defense(tiny_nvae, eps: float):
+    from gen_adversarial_tpu.defenses.purify import (
+        make_nvae_purify_split, _compose)
+    model, variables, cfg = tiny_nvae
+    w, apply = _linear_classifier(d=16 * 16 * 3)
+    encode_apply, decode_apply = make_nvae_purify_split(model)
+    return MLVGMDefense(
+        purify_variables=variables, classifier_variables=w,
+        alphas=jnp.full((cfg.n_latents,), 0.3),
+        purify_apply=_compose(encode_apply, decode_apply),
+        purify_encode_apply=encode_apply, purify_decode_apply=decode_apply,
+        classifier_apply=apply, image_size=16, initial_noise_eps=eps,
+        normalize_before_purify=False)
+
+
+def test_shared_encode_eot_parity(tiny_nvae):
+    """The shared-encode EoT fast path (one encoder pass per image instead
+    of one per draw, defenses/eot.py) must be result-identical to the naive
+    per-draw recompute: same key splits, same decode ops — values AND
+    attack gradients agree."""
+    defense = _split_nvae_defense(tiny_nvae, eps=0.0)
+    assert defense.supports_shared_encode
+    key = jax.random.PRNGKey(7)
+    x = jnp.asarray(np.random.RandomState(8).rand(2, 16, 16, 3).astype(np.float32))
+
+    for chunk in (None, 2):
+        naive = eot_wrap(defense, eot_steps=4, chunk=chunk, shared_encode=False)
+        shared = eot_wrap(defense, eot_steps=4, chunk=chunk, shared_encode=True)
+        l_naive = jax.jit(naive)(key, x)
+        l_shared = jax.jit(shared)(key, x)
+        np.testing.assert_allclose(np.asarray(l_shared), np.asarray(l_naive),
+                                   rtol=1e-6, atol=1e-6)
+        g_naive = jax.jit(jax.grad(lambda x_: jnp.sum(naive(key, x_) ** 2)))(x)
+        g_shared = jax.jit(jax.grad(lambda x_: jnp.sum(shared(key, x_) ** 2)))(x)
+        np.testing.assert_allclose(np.asarray(g_shared), np.asarray(g_naive),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_shared_encode_disabled_by_input_noise(tiny_nvae):
+    """initial_noise_eps > 0 randomizes the encoder input per draw — sharing
+    must be off, and the wrapper must fall back to the naive path."""
+    defense = _split_nvae_defense(tiny_nvae, eps=0.5)
+    assert not defense.supports_shared_encode
+    key = jax.random.PRNGKey(9)
+    x = jnp.asarray(np.random.RandomState(10).rand(1, 16, 16, 3).astype(np.float32))
+    naive = eot_wrap(defense, eot_steps=2, shared_encode=False)
+    auto = eot_wrap(defense, eot_steps=2)  # shared_encode=True, but unsupported
+    np.testing.assert_array_equal(np.asarray(jax.jit(auto)(key, x)),
+                                  np.asarray(jax.jit(naive)(key, x)))
 
 
 def test_clamp01_matches_torch_gradient():
