@@ -17,7 +17,8 @@ from gen_adversarial_tpu.attacks.utils import l2_norm, class_grads as _class_gra
 
 def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                     num_classes: int = 10, overshoot: float = 0.02,
-                    max_iter: int = 50, return_iters: bool = False):
+                    max_iter: int = 50, return_iters: bool = False,
+                    cotangent_chunk: int | None = None):
     b = images.shape[0]
     bdims = (-1,) + (1,) * (images.ndim - 1)
     k0, kloop = jax.random.split(key)
@@ -39,7 +40,8 @@ def deepfool_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarra
     def body(c):
         key, k1 = jax.random.split(c["key"])
         pert_image = images + (1.0 + overshoot) * c["r_tot"]
-        fs, grads = _class_grads(net, k1, pert_image, order)  # (B,C), (K,B,...)
+        fs, grads = _class_grads(net, k1, pert_image, order,  # (B,C), (K,B,...)
+                                 cotangent_chunk=cotangent_chunk)
 
         # the SAME forward serves as the previous step's exit test and this
         # step's linearization (the reference's retain_graph coupling,

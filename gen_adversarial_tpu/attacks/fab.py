@@ -19,7 +19,7 @@ from gen_adversarial_tpu.attacks.utils import (
 
 def fab_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
                n_iter: int = 128, alpha_max: float = 0.1, eta: float = 1.05,
-               beta: float = 0.9):
+               beta: float = 0.9, cotangent_chunk: int | None = None):
     b = images.shape[0]
     bdims = (-1,) + (1,) * (images.ndim - 1)
     k0, kloop = jax.random.split(key)
@@ -36,7 +36,8 @@ def fab_attack(key: jax.Array, net, images: jnp.ndarray, labels: jnp.ndarray,
 
     def body(i, c):
         k1, k2 = jax.random.split(keys[i])
-        logits, grads = _all_class_grads(net, k1, c["x_i"])  # (B,C), (C,B,...)
+        logits, grads = _all_class_grads(  # (B,C), (C,B,...)
+            net, k1, c["x_i"], cotangent_chunk=cotangent_chunk)
         g2 = jnp.moveaxis(grads, 0, 1).reshape(b, logits.shape[1], -1)  # (B,C,D)
         y_lab = jnp.take_along_axis(logits, labels[:, None], axis=1)
         g_lab = jnp.take_along_axis(g2, labels[:, None, None], axis=1)

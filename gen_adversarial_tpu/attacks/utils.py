@@ -8,7 +8,7 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def class_grads(net, key, x, class_idx=None):
+def class_grads(net, key, x, class_idx=None, cotangent_chunk=None):
     """Per-sample gradients of selected logits from ONE forward.
 
     The reference's per-class `backward(retain_graph=True)` loops
@@ -18,6 +18,15 @@ def class_grads(net, key, x, class_idx=None):
     torch graph.
 
     class_idx: (B, K) class selectors, or None for all C classes.
+    cotangent_chunk: if set, apply the vjp to blocks of this many
+    cotangents sequentially (lax.map over chunks of an inner vmap)
+    instead of one K-wide vmap.  The K-wide vmap holds K copies of the
+    backward's intermediates live at once - for FAB on the 100-class ids
+    task that capped the batch at 2 on a 16G chip; chunking trades that
+    peak for sequential grade-steps so the image batch can grow (under
+    remat each chunk recomputes the purifier forward, an ~K/chunk x
+    forward overhead on a ~2K-forward-equivalent backward).  Results are
+    numerically identical (tests/test_attacks.py pins it).
     Returns logits (B, C) and grads (K, B, ...) (K = C when None).
     """
     logits, vjp_fn = jax.vjp(lambda x_: net(key, x_), x)
@@ -29,7 +38,20 @@ def class_grads(net, key, x, class_idx=None):
     else:
         cotangents = jax.nn.one_hot(class_idx.T, n_classes,
                                     dtype=logits.dtype)  # (K, B, C)
-    grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
+    k = cotangents.shape[0]
+    if cotangent_chunk is not None and cotangent_chunk < k:
+        c = int(cotangent_chunk)
+        pad = (-k) % c
+        if pad:  # pad with zero cotangents (their grads are discarded)
+            cotangents = jnp.concatenate(
+                [cotangents, jnp.zeros((pad,) + cotangents.shape[1:],
+                                       cotangents.dtype)], axis=0)
+        blocks = cotangents.reshape((k + pad) // c, c, *cotangents.shape[1:])
+        grads = lax.map(lambda cts: jax.vmap(lambda ct: vjp_fn(ct)[0])(cts),
+                        blocks)
+        grads = grads.reshape(k + pad, *grads.shape[2:])[:k]
+    else:
+        grads = jax.vmap(lambda ct: vjp_fn(ct)[0])(cotangents)
     return logits, grads
 
 

@@ -254,3 +254,61 @@ def test_staged_autoattack_matches_monolithic():
                                rtol=0, atol=0)
     np.testing.assert_allclose(np.asarray(mono[2]), np.asarray(staged[2]),
                                rtol=0, atol=0)
+
+
+def test_class_grads_cotangent_chunking_identical():
+    """cotangent_chunk is a memory/throughput knob (FAB's 100-cotangent
+    backward capped the batch at 2 on a 16G chip): chunked lax.map blocks
+    must reproduce the one-wide-vmap gradients, including the padded
+    final block and the chunk >= K degenerate case."""
+    from gen_adversarial_tpu.attacks.utils import class_grads
+
+    net, W, bvec = make_linear_net()
+
+    def noisy_net(key, x):
+        return net(None, x + 0.01 * jax.random.normal(key, x.shape, x.dtype))
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(3, *SHAPE).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    logits_ref, grads_ref = class_grads(noisy_net, key, x)
+    for chunk in (1, 3, 4, 16):  # 3 pads (4 classes -> blocks of 3+1)
+        logits_c, grads_c = class_grads(noisy_net, key, x,
+                                        cotangent_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(logits_c),
+                                   np.asarray(logits_ref), rtol=0, atol=0)
+        np.testing.assert_allclose(np.asarray(grads_c), np.asarray(grads_ref),
+                                   rtol=1e-6, atol=1e-7)
+
+    # selected-class variant (DeepFool's top-k order)
+    order = jnp.argsort(-logits_ref, axis=1)[:, :3]
+    _, g_sel_ref = class_grads(noisy_net, key, x, order)
+    _, g_sel_c = class_grads(noisy_net, key, x, order, cotangent_chunk=2)
+    np.testing.assert_allclose(np.asarray(g_sel_c), np.asarray(g_sel_ref),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_fab_deepfool_chunked_trajectories_match():
+    """End-to-end: the chunked attacks walk the same trajectory (same keys,
+    same linearizations) as the unchunked ones."""
+    net, W, bvec = make_linear_net()
+    x, y, m = _correct_sample(net, W, bvec)
+    x2 = jnp.concatenate([jnp.asarray(x)] * 2)
+    y2 = jnp.asarray(np.array([y[0], y[0]], np.int32))
+
+    ref = fab_attack(jax.random.PRNGKey(3), net, x2, y2, n_iter=16)
+    chk = fab_attack(jax.random.PRNGKey(3), net, x2, y2, n_iter=16,
+                     cotangent_chunk=3)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(chk[0]))
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(chk[1]),
+                               rtol=1e-5, atol=1e-6)
+
+    ref = deepfool_attack(jax.random.PRNGKey(4), net, x2, y2,
+                          num_classes=N_CLASSES, max_iter=16)
+    chk = deepfool_attack(jax.random.PRNGKey(4), net, x2, y2,
+                          num_classes=N_CLASSES, max_iter=16,
+                          cotangent_chunk=2)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(chk[0]))
+    np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(chk[1]),
+                               rtol=1e-5, atol=1e-6)
