@@ -18,8 +18,8 @@ IMAGE_SIZE = {"gender": 256, "ids": 64, "cars": 128}
 # classes per experiment (loading_utils.py:10-34)
 N_CLASSES = {"gender": 2, "ids": 100, "cars": 4}
 # latent hierarchy depth per experiment (configs/*: 18 w-vectors for the
-# 1024px StyleGAN (gender), 24 NVAE groups (ids), 16 w-vectors for the 256px
-# StyleGAN (cars))
+# 1024px StyleGAN (gender), 24 NVAE groups (ids), 16 w-vectors for the 512px
+# StyleGAN (cars): n_latent = 2*log2(size) - 2)
 N_LATENTS = {"gender": 18, "ids": 24, "cars": 16}
 
 

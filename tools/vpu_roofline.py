@@ -56,16 +56,23 @@ def timed(fn, x, iters=20):
     """Two forced warmups + two timed windows, min (the first program timed
     in a fresh process through this backend reads ~10-1000x slow —
     BASELINE.md methodology note).  Each call perturbs the input so the
-    lazy backend cannot memoize; a scalar fetch forces execution."""
+    lazy backend cannot memoize, and the perturbation is large enough to
+    survive rounding in bf16 (eps ~8e-3 at data of order 1 — a 1e-12 shift
+    rounds away and every call would see a bit-identical input); the
+    scalar fetch sums over ALL outputs in the window so the backend cannot
+    cancel any of the iters-1 calls whose buffers would otherwise be
+    dropped (bench.py measurement-integrity rule)."""
     def force(res):
-        assert np.isfinite(float(jnp.sum(res[-1].astype(jnp.float32))))
+        total = float(jnp.sum(jnp.stack(
+            [jnp.sum(o.astype(jnp.float32)) for o in res])))
+        assert np.isfinite(total)
 
     force([fn(x)])
-    force([fn(x + jnp.asarray(1e-12, x.dtype))])
+    force([fn(x + jnp.asarray(1e-2, x.dtype))])
     best = None
     for w in range(2):
         t0 = time.perf_counter()
-        acc = [fn(x + jnp.asarray((2 + w * iters + i) * 1e-12, x.dtype))
+        acc = [fn(x + jnp.asarray((2 + w * iters + i) * 1e-2, x.dtype))
                for i in range(iters)]
         force(acc)
         best_w = (time.perf_counter() - t0) / iters
