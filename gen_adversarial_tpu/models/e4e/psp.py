@@ -31,10 +31,25 @@ class PSP(nn.Module):
         return codes
 
     def decode(self, codes, noise_key=None, randomize_noise: bool = False):
-        """codes (B, n_latent, 512) -> images pooled to 256 (psp.py:109-115)."""
+        """codes (B, n_latent, 512) -> images pooled to 256 (psp.py:109-115).
+
+        With GAT_SG2_PHASE_RGB the generator returns the phased top-block
+        RGB (B, 512, 512, 12) and the phase mean (an exact 2x2 average
+        pool) folds into this face pool — composition of uniform means is
+        the same 4x4 mean as pooling the 1024px image directly."""
+        from gen_adversarial_tpu.models.stylegan2.layers import phase_rgb_enabled
+        # size >= 512 only: the 2x2 phase mean composes exactly with the
+        # following pool-to-256 iff the face pool is a clean downscale
+        # (mean of equal uniform windows); below 512 the face pool
+        # up-scales and pooling first would change the result
         images, _ = self.decoder([codes], input_is_latent=True,
                                  randomize_noise=randomize_noise,
-                                 noise_key=noise_key)
+                                 noise_key=noise_key,
+                                 phase_rgb=(phase_rgb_enabled()
+                                            and self.decoder.size >= 512))
+        if images.shape[-1] == 12:
+            from gen_adversarial_tpu.ops.phase_block import phase_avg_pool2
+            images = phase_avg_pool2(images)
         return adaptive_avg_pool_general(images, 256, 256)
 
     def style(self, z):

@@ -47,9 +47,19 @@ class StyleTransformer(nn.Module):
         return codes
 
     def decode(self, codes, noise_key=None, randomize_noise: bool = False):
+        # GAT_SG2_PHASE_RGB: phased top-block RGB (B, 256, 256, 12); the
+        # phase mean IS the 2x2 face pool to 256 (see psp.decode note)
+        from gen_adversarial_tpu.models.stylegan2.layers import phase_rgb_enabled
+        # size >= 512 only: see psp.decode — below that the face pool
+        # up-scales and the phase mean would not compose exactly
         images, _ = self.decoder([codes], input_is_latent=True,
                                  randomize_noise=randomize_noise,
-                                 noise_key=noise_key)
+                                 noise_key=noise_key,
+                                 phase_rgb=(phase_rgb_enabled()
+                                            and self.decoder.size >= 512))
+        if images.shape[-1] == 12:
+            from gen_adversarial_tpu.ops.phase_block import phase_avg_pool2
+            images = phase_avg_pool2(images)
         return adaptive_avg_pool_general(images, 256, 256)
 
     def __call__(self, x, train: bool = False, resize: bool = True,

@@ -95,12 +95,20 @@ class Generator(nn.Module):
                  inject_index: int | None = None, truncation: float = 1.0,
                  truncation_latent=None, noise=None, randomize_noise: bool = True,
                  noise_key=None, weights_deltas: Sequence[Any] | None = None,
-                 return_latents: bool = False):
+                 return_latents: bool = False, phase_rgb: bool = False):
         """Full generator forward (generator.py:403-479).
 
         styles: list of (B, style_dim) or one (B, n_latent, style_dim).
         randomize_noise=False uses the stored noise buffers; True draws fresh
         noise from noise_key (must be provided).
+
+        phase_rgb: if the TOP block runs on the phase-domain path, return
+        the image in phase-major space-to-depth layout (B, H/2, W/2, 12)
+        instead of (B, H, W, 3) — callers that average-pool the output
+        fold the phase mean into the pool (phase_avg_pool2) and the full-
+        resolution RGB tensor is never materialized.  Detect by the
+        channel count (12 vs 3): whether the top block phases is an env-
+        dependent trace-time decision (layers.phase_min_res).
         """
         total_convs = len(self.convs) + len(self.to_rgbs) + 2
         if weights_deltas is None:
@@ -180,9 +188,11 @@ class Generator(nn.Module):
             out = conv2(out, latent[:, i + 1], noise=noise[j + 2], key=keys[j + 2],
                         weights_delta=weights_deltas[widx + 1],
                         phase_in=use_phase, phase_out=use_phase)
+            last = j + 2 == len(self.convs)
             skip = to_rgb(out, latent[:, i + 2], skip,
                           weights_delta=weights_deltas[widx + 2],
-                          phase_in=use_phase)
+                          phase_in=use_phase,
+                          phase_out_rgb=phase_rgb and use_phase and last)
             out_is_phase = use_phase
             i += 2
             widx += 3

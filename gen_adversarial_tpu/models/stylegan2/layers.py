@@ -73,6 +73,17 @@ def phase_min_res(default: int) -> int:
     return (int(v) if v else default) or 10 ** 9
 
 
+def phase_rgb_enabled() -> bool:
+    """Whether decode paths that average-pool the generator output ask for
+    the image in phase layout (Generator phase_rgb): the top block's RGB
+    then stays space-to-depth, the skip upsample runs as a dense conv at
+    H/2 instead of a zero-dilated depthwise at HxWx3 (3/128 lane fill),
+    and the pool folds the phase mean in (phase_avg_pool2) — the full-res
+    RGB tensor is never materialized.  GAT_SG2_PHASE_RGB gates it for
+    A/Bs; read at trace time."""
+    return os.environ.get("GAT_SG2_PHASE_RGB", "0") == "1"
+
+
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):
     """Blur module (generator.py:50-66): separable FIR, kernel scaled by
     factor^2 when following an upsampling conv."""
@@ -418,17 +429,32 @@ class ToRGB(nn.Module):
 
     @nn.compact
     def __call__(self, x, style, skip=None, weights_delta=None,
-                 phase_in: bool = False):
+                 phase_in: bool = False, phase_out_rgb: bool = False):
+        """phase_out_rgb (requires phase_in): return the RGB in phase-major
+        space-to-depth layout (B, H/2, W/2, 12) instead of (B, H, W, 3),
+        and upsample the incoming logical skip with the dense phase conv at
+        H/2 (ops/phase_upsample.phase_upsample_fir_phase_out) instead of
+        the zero-dilated depthwise FIR at HxW with 3/128 lane fill — the
+        HxWx3 tensor is never materialized.  The caller (generator top
+        block -> psp/trans face_pool) folds the phase mean into its
+        average pool (ops/phase_block.phase_avg_pool2)."""
         y = ModulatedConv2d(3, 1, demodulate=False, name="conv")(
             x, style, weights_delta, phase_in=phase_in)
         bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
         if phase_in:
             # 1x1 conv output is phase-RGB (B, H/2, W/2, 12): add the bias
-            # tiled over phases, then leave the phase domain — RGB is only
-            # 3 channels, so this is the cheap place to relayout
+            # tiled over phases
             from gen_adversarial_tpu.ops.phase_block import (
                 depth_to_space, phase_tile_channels)
             y = y + phase_tile_channels(bias.reshape(3))
+            if phase_out_rgb:
+                if skip is not None:
+                    from gen_adversarial_tpu.ops.phase_upsample import (
+                        phase_upsample_fir_phase_out)
+                    y = y + phase_upsample_fir_phase_out(skip, self.blur_kernel)
+                return y
+            # otherwise leave the phase domain — RGB is only 3 channels,
+            # so this is the cheap place to relayout
             y = depth_to_space(y)
         else:
             y = y + bias

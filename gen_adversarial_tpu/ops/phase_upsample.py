@@ -75,17 +75,18 @@ def fused_upsample_kernel(weight: jnp.ndarray, blur_1d,
     return jnp.concatenate(phases, axis=-1)  # (3, 3, in, 4*out)
 
 
-def phase_upsample_fir(x: jnp.ndarray, blur_1d,
-                       factor: int = 2) -> jnp.ndarray:
-    """Fused phase form of layers.upsample_fir (zero-insert x2 + 4-tap FIR,
-    the ToRGB skip-pyramid upsample): one 3x3 conv at the input resolution
-    + depth-to-space, instead of a dilated depthwise conv at 2Hx2W.
+def phase_upsample_fir_phase_out(x: jnp.ndarray, blur_1d,
+                                 factor: int = 2) -> jnp.ndarray:
+    """layers.upsample_fir (zero-insert x2 + 4-tap FIR) computed as one
+    dense 3x3 conv at the input resolution, output LEFT in the phase-major
+    space-to-depth layout (B, H, W, 4C), [(py, px, c)] channel order
+    (ops/phase_block.py conventions).
 
     Per-dim (correlation, fK = flip(norm(k) * factor), window x[a-1..a+1]):
     even outputs o=2a take taps [fK[0], fK[2], 0], odd [0, fK[1], fK[3]].
     """
     assert factor == 2 and len(blur_1d) == 4
-    b, h, w, c = x.shape
+    c = x.shape[-1]
     f = _norm1d(blur_1d) * factor
     fk = jnp.flip(f, 0)
     ph = {0: jnp.array([fk[0], fk[2], 0.0]),
@@ -96,9 +97,18 @@ def phase_upsample_fir(x: jnp.ndarray, blur_1d,
     k2 = jnp.concatenate(
         [jnp.einsum("u,v,cd->uvcd", ph[py], ph[px], eye)
          for py in (0, 1) for px in (0, 1)], axis=-1).astype(x.dtype)
-    y = lax.conv_general_dilated(
+    return lax.conv_general_dilated(
         x, k2, (1, 1), ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def phase_upsample_fir(x: jnp.ndarray, blur_1d,
+                       factor: int = 2) -> jnp.ndarray:
+    """Fused phase form of layers.upsample_fir (zero-insert x2 + 4-tap FIR,
+    the ToRGB skip-pyramid upsample): one 3x3 conv at the input resolution
+    + depth-to-space, instead of a dilated depthwise conv at 2Hx2W."""
+    b, h, w, c = x.shape
+    y = phase_upsample_fir_phase_out(x, blur_1d, factor)
     y = y.reshape(b, h, w, 2, 2, c)
     y = y.transpose(0, 1, 3, 2, 4, 5)
     return y.reshape(b, 2 * h, 2 * w, c)

@@ -195,3 +195,57 @@ def test_generator_phase_path_grads_match(monkeypatch):
     g_phase = jax.grad(loss)(z0)
     np.testing.assert_allclose(np.asarray(g_phase), np.asarray(g_ref),
                                rtol=2e-3, atol=1e-5)
+
+
+def test_generator_phase_rgb_output_matches_pooled_logical(monkeypatch):
+    """phase_rgb: the generator returns the phased top-block RGB
+    (B, H/2, W/2, 12) — its phase mean must equal the 2x2 average pool of
+    the logical image (the decode paths fold it into face_pool), with the
+    skip upsample computed by the dense phase conv instead of the dilated
+    depthwise FIR.  Forward and input-grads."""
+    import gen_adversarial_tpu.models.stylegan2.generator as gmod
+    from gen_adversarial_tpu.ops.phase_block import phase_avg_pool2
+
+    monkeypatch.setattr(
+        gmod, "generator_channels",
+        lambda channel_multiplier=2: {4: 16, 8: 12, 16: 8, 32: 8})
+    gen = gmod.Generator(size=32, style_dim=16, n_mlp=2)
+    variables = gen.init(jax.random.PRNGKey(0), [jnp.zeros((2, 16))],
+                         randomize_noise=False)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    nkey = jax.random.PRNGKey(2)
+
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "16")
+
+    ref, _ = gen.apply(variables, [z], randomize_noise=True, noise_key=nkey)
+    ref_pooled = jnp.mean(ref.reshape(2, 16, 2, 16, 2, 3), axis=(2, 4))
+
+    got, _ = gen.apply(variables, [z], randomize_noise=True, noise_key=nkey,
+                       phase_rgb=True)
+    assert got.shape == (2, 16, 16, 12)
+    np.testing.assert_allclose(np.asarray(phase_avg_pool2(got)),
+                               np.asarray(ref_pooled), rtol=2e-4, atol=2e-5)
+
+    # without the phase path enabled, phase_rgb degrades to logical output
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")
+    plain, _ = gen.apply(variables, [z], randomize_noise=True,
+                         noise_key=nkey, phase_rgb=True)
+    assert plain.shape == (2, 32, 32, 3)
+
+    # grads through the pooled output must match the logical formulation
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "16")
+
+    def loss_phase(z):
+        img, _ = gen.apply(variables, [z], randomize_noise=False,
+                           phase_rgb=True)
+        return jnp.sum(phase_avg_pool2(img) ** 2)
+
+    def loss_ref(z):
+        img, _ = gen.apply(variables, [z], randomize_noise=False)
+        return jnp.sum(jnp.mean(
+            img.reshape(2, 16, 2, 16, 2, 3), axis=(2, 4)) ** 2)
+
+    g_ref = jax.grad(loss_ref)(z)
+    g_phase = jax.grad(loss_phase)(z)
+    np.testing.assert_allclose(np.asarray(g_phase), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
