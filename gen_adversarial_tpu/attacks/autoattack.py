@@ -8,6 +8,8 @@ here every stage runs batched and the escalation becomes per-sample gating
 masks at merge time, which preserves the per-image results exactly.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -77,10 +79,16 @@ def make_staged_autoattack(n_classes: int, make_net):
     def apgd_stage(d, key, x, y, bound, ce):
         return apgd_attack(key, make_net(d), x, y, 64, 0.75, bound, ce)
 
+    # GAT_COT_CHUNK: sequential cotangent blocks for FAB's C-wide
+    # class-jacobian backward (attacks/utils.class_grads) — the memory
+    # knob that lets the eval batch grow past the K-wide vjp's peak;
+    # results are numerically identical (tests/test_attacks.py)
+    cot_chunk = int(os.environ.get("GAT_COT_CHUNK", "0")) or None
+
     @jax.jit
     def fab_stage(d, key, x, y):
         return fab_attack(key, make_net(d), x, y, n_iter=128, alpha_max=0.1,
-                          eta=1.05, beta=0.9)
+                          eta=1.05, beta=0.9, cotangent_chunk=cot_chunk)
 
     def run(d, key, images, labels):
         keys = jax.random.split(key, 8)
