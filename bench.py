@@ -327,6 +327,9 @@ def bench_flagship(dtype: str):
            + (f", eps {eps:g} (shared-encode EoT)" if eps == 0 else ""))
 
     if (MODE == "flagship_bf16" and dtype == "bfloat16"
+            and np.isfinite(_deadline_left())  # supervisor runs only: the
+            # quick tier exists to beat the driver deadline; standalone
+            # sweeps (bench_queue items) must measure exactly one program
             and not _cache_warm("flagship_bf16")):
         # Cold-cache quick tier: a small program (batch 32, 4 unrolled EoT
         # forwards) whose compile fits well inside the budget prints a FRESH

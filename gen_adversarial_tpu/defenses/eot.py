@@ -16,22 +16,35 @@ BASELINE.md) stops being recomputed eot_steps times, forward AND backward
 (the attack gradient then flows through one encode with summed cotangents).
 The reference recomputes everything per repeat (wrappers.py:14-16)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 
 def eot_wrap(defense, eot_steps: int = 32, chunk: int | None = None,
-             shared_encode: bool = True):
+             shared_encode: bool = True, unroll: int | None = None):
     """defense: callable(key, x) -> logits.  Returns net(key, x) -> mean
     logits over eot_steps draws.  shared_encode=False forces the naive
-    per-draw recompute (A/B and parity testing)."""
+    per-draw recompute (A/B and parity testing).
+
+    unroll (default 1, GAT_EOT_UNROLL overrides): chunked EoT runs the
+    chunk loop as lax.scan with this unroll factor.  unroll=1 is the
+    memory-bounding sequential loop; unroll=2 holds two chunks' activations
+    live so XLA's scheduler can interleave one chunk's VPU-heavy phases
+    (NVAE decoder depthwise/BN-SiLU segments, 8.7% MXU — BASELINE.md stage
+    roofline) with the other's MXU-heavy ones, at 2x the chunk's activation
+    footprint.  Result-identical at any factor (same per-chunk programs,
+    same stacking order)."""
     if chunk is not None:
         if chunk >= eot_steps:
             chunk = None  # chunking <= one chunk's worth of steps is a no-op
         elif eot_steps % chunk:
             raise ValueError(f"eot_steps={eot_steps} is not divisible by "
                              f"chunk={chunk}")
+    if unroll is None:
+        unroll = int(os.environ.get("GAT_EOT_UNROLL", "1"))
 
     def net(key, x):
         keys = jax.random.split(key, eot_steps)
@@ -44,7 +57,8 @@ def eot_wrap(defense, eot_steps: int = 32, chunk: int | None = None,
             logits = jax.vmap(one)(keys)
         else:
             keys = keys.reshape(eot_steps // chunk, chunk, *keys.shape[1:])
-            logits = lax.map(lambda ks: jax.vmap(one)(ks), keys)
+            _, logits = lax.scan(lambda _, ks: (None, jax.vmap(one)(ks)),
+                                 None, keys, unroll=unroll)
             logits = logits.reshape(eot_steps, *logits.shape[2:])
         return jnp.mean(logits, axis=0)
 

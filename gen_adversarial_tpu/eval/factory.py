@@ -59,11 +59,20 @@ class LoadedDefense:
 
 def build_attacks(experiment: str, n_classes: int) -> dict:
     """The per-experiment attack dict (load_defense.py:32-36,48-52,64-68)."""
+    import os
+
     s: AttackSuiteConfig = ATTACK_SUITES[experiment]
+    # GAT_DF_COT_CHUNK: sequential cotangent blocks for DeepFool's top-K
+    # class jacobian — numerically identical (tests/test_attacks.py), trades
+    # VJP live memory for eval batch size.  Measured 2026-08-20 on the ids
+    # flagship: chunk 5 + batch 16 = 2.37 img*iter/s vs 1.83 at the
+    # unchunked batch-4 point (+30%); keep OFF for small batches.
+    df_cot = int(os.environ.get("GAT_DF_COT_CHUNK", "0")) or None
     return {
         "deepfool": partial(deepfool_attack, num_classes=s.deepfool_num_classes,
                             overshoot=s.deepfool_overshoot,
-                            max_iter=s.deepfool_max_iter),
+                            max_iter=s.deepfool_max_iter,
+                            cotangent_chunk=df_cot),
         "c&w": partial(cw_attack, c=s.cw_c, kappa=s.cw_kappa, steps=s.cw_steps,
                        lr=s.cw_lr, n_restarts=s.cw_n_restarts,
                        early_stopping_steps=s.cw_early_stopping_steps),

@@ -55,7 +55,7 @@ class StyleTransformer(nn.Module):
         images, _ = self.decoder([codes], input_is_latent=True,
                                  randomize_noise=randomize_noise,
                                  noise_key=noise_key,
-                                 phase_rgb=(phase_rgb_enabled()
+                                 phase_rgb=(phase_rgb_enabled(default=True)
                                             and self.decoder.size >= 512))
         if images.shape[-1] == 12:
             from gen_adversarial_tpu.ops.phase_block import phase_avg_pool2

@@ -73,15 +73,20 @@ def phase_min_res(default: int) -> int:
     return (int(v) if v else default) or 10 ** 9
 
 
-def phase_rgb_enabled() -> bool:
+def phase_rgb_enabled(default: bool = False) -> bool:
     """Whether decode paths that average-pool the generator output ask for
     the image in phase layout (Generator phase_rgb): the top block's RGB
     then stays space-to-depth, the skip upsample runs as a dense conv at
     H/2 instead of a zero-dilated depthwise at HxWx3 (3/128 lane fill),
     and the pool folds the phase mean in (phase_avg_pool2) — the full-res
-    RGB tensor is never materialized.  GAT_SG2_PHASE_RGB gates it for
-    A/Bs; read at trace time."""
-    return os.environ.get("GAT_SG2_PHASE_RGB", "0") == "1"
+    RGB tensor is never materialized.
+
+    The default is PER CALL SITE — measured 2026-08-20 A/Bs went opposite
+    ways: cars/StyleTransformer-512 12.51 -> 13.56 img/s (+8.4%, default
+    ON there) but gender/PSP-1024 5.47 -> 1.69 (-69%, default OFF there).
+    GAT_SG2_PHASE_RGB=0/1 overrides both for A/Bs; read at trace time."""
+    v = os.environ.get("GAT_SG2_PHASE_RGB", "")
+    return default if v == "" else v == "1"
 
 
 def blur(x, kernel_1d, pad, upsample_factor: int = 1):

@@ -71,6 +71,25 @@ def test_eot_wrap_reduces_variance():
     assert out.shape == (1, 4)
 
 
+def test_eot_chunk_unroll_parity():
+    """Chunked EoT (scan, any unroll factor) is result-identical to the
+    unchunked vmap, forward and grad — the unroll knob (GAT_EOT_UNROLL)
+    only changes the schedule, never the math (defenses/eot.py)."""
+    w, apply = _linear_classifier()
+    noise_def = GaussianNoiseDefense(w, apply, eps=1.0)
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 8, 8, 3).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+
+    ref = np.asarray(eot_wrap(noise_def, eot_steps=8)(key, x))
+    g_ref = np.asarray(jax.grad(
+        lambda x: jnp.sum(eot_wrap(noise_def, eot_steps=8)(key, x)))(x))
+    for unroll in (1, 2, 4):
+        net = eot_wrap(noise_def, eot_steps=8, chunk=2, unroll=unroll)
+        np.testing.assert_allclose(np.asarray(net(key, x)), ref, atol=1e-6)
+        g = np.asarray(jax.grad(lambda x: jnp.sum(net(key, x)))(x))
+        np.testing.assert_allclose(g, g_ref, atol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def tiny_nvae():
     cfg = NVAEConfig(resolution=16, initial_channels=4, n_pre_post_blocks=1,
