@@ -187,6 +187,53 @@ def _peak_hbm_gbps() -> float | None:
     return None
 
 
+def _analytic_attack_perf(defense, rate: float, batch: int, dtype: str,
+                          n_cotangents: int, remat: bool,
+                          eot_chunk: int | None = 8) -> dict:
+    """Analytic roofline fields for LOOP-CARRIED attack benches (VERDICT r4
+    weak#5): XLA cost analysis counts a while/scan body once regardless of
+    trip count, so the attack programs themselves undercount FLOPs
+    ~n_iter-fold.  Instead, cost-analyze ONE straight-line EoT forward at
+    the bench's exact (batch, chunk) point and scale:
+
+      flops/iter = F_fwd * (1 + m*K)
+
+    K = cotangent count of the per-iteration jacobian (APGD/C&W scalar
+    loss: 1; DeepFool top-k: k; FAB: n_classes), m = backward cost in
+    forward units (2 without remat; 3 under full remat, which recomputes
+    the forward once per backward).  The one forward shared by all K
+    cotangents (jax.vjp) is the +1.  Bytes are not modeled (no HBM claim).
+    Fields carry an _analytic suffix + the model string so they can never
+    be confused with measured cost-analysis numbers."""
+    if _deadline_left() < 90.0:
+        return {}
+    from gen_adversarial_tpu.defenses.eot import eot_wrap
+
+    @jax.jit
+    def fwd(defense, x, key):
+        net = eot_wrap(defense, eot_steps=EOT, chunk=eot_chunk)
+        return jnp.sum(net(key, x).astype(jnp.float32))
+
+    x = jnp.asarray(np.random.RandomState(0).rand(batch, 64, 64, 3),
+                    jnp.float32)
+    cost = _step_cost(fwd, defense, x, jax.random.PRNGKey(0))
+    if not cost:
+        return {}
+    m = 3 if remat else 2
+    flops_per_iter = cost["flops"] * (1 + m * n_cotangents)
+    per_unit = flops_per_iter / batch          # one unit = img*iter
+    out = {"gflop_per_unit_analytic": round(per_unit / 1e9, 1),
+           "tflops_analytic": round(rate * per_unit / 1e12, 2),
+           "analytic_model": f"fwd_cost x (1 + {m}K), K={n_cotangents}"
+                             f" ({'full-remat' if remat else 'no-remat'}"
+                             f" backward)"}
+    peak = _peak_tflops(dtype)
+    if peak:
+        out["pct_peak_bf16_analytic"] = round(
+            100.0 * out["tflops_analytic"] / peak, 1)
+    return out
+
+
 def _forward_bench(defense, batch: int, size: int, iters: int = 5,
                    eot_chunk: int | None = None, mesh=None,
                    scan_steps: int = 8, dtype: str = "float32",
@@ -265,12 +312,22 @@ def _forward_bench(defense, batch: int, size: int, iters: int = 5,
 WARM_MARKER = "/root/repo/.jax_cache/WARM_MODES.json"
 # env overrides that change the compiled program: any of them set means the
 # committed cache entries may not cover this run, so the warm marker is void
+# (ADVICE r4: keep this in sync with EVERY trace-time env knob the package
+# reads — grep 'os.environ.get("GAT_' across gen_adversarial_tpu/)
 _PROGRAM_ENVS = ("GAT_EPS", "GAT_TASK_BATCH", "GAT_TASK_CHUNK",
-                 "GAT_SHARED_ENCODE", "GAT_APGD_REMAT", "GAT_COT_CHUNK")
+                 "GAT_SHARED_ENCODE", "GAT_APGD_REMAT", "GAT_COT_CHUNK",
+                 "GAT_EOT_UNROLL", "GAT_SG2_PHASE_RGB",
+                 "GAT_SG2_PHASE_MIN_RES", "GAT_NVAE_BN_FOLD",
+                 "GAT_NVAE_DW", "GAT_NVAE_PW", "GAT_DF_COT_CHUNK",
+                 "GAT_STAGED_AA")
 
 
 def program_fingerprint() -> str:
-    """Hash of every source file that shapes the benched XLA programs.  The
+    """Hash of every source file that shapes the benched XLA programs, PLUS
+    the jax/jaxlib/libtpu versions (ADVICE r4: XLA persistent-cache keys
+    depend on the compiler version — a driver container with a different
+    jaxlib would pass a source-only check yet miss every committed entry,
+    reproducing the r03 cold-compile deadline failure).  The
     WARM_MODES.json marker stores it at prewarm time; a mismatch at bench
     time means the committed cache entries may be for different programs,
     so the worker falls back to cold-cache behavior (quick tier first).
@@ -282,6 +339,24 @@ def program_fingerprint() -> str:
     for p in files:
         h.update(str(p.relative_to(root)).encode())
         h.update(p.read_bytes())
+    import jax as _jax
+    ver = [_jax.__version__]
+    try:
+        import jaxlib
+        ver.append(jaxlib.__version__)
+    except Exception:
+        pass
+    try:
+        from jax._src.lib import version_str as _jaxlib_ver
+        ver.append(str(_jaxlib_ver))
+    except Exception:
+        pass
+    try:
+        import libtpu
+        ver.append(getattr(libtpu, "__version__", "?"))
+    except Exception:
+        pass
+    h.update("|".join(ver).encode())
     return h.hexdigest()[:16]
 
 
@@ -469,17 +544,18 @@ def bench_apgd(dtype: str):
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(total)
     rate = BATCH * N_ITER / dt
-    # no MFU fields here: XLA cost analysis counts a while/scan body ONCE
-    # regardless of trip count, so loop-carried attack programs undercount
-    # FLOPs ~n_iter-fold (measured: 49 GFLOP/img*iter reported vs ~1.7
-    # TFLOP actual).  MFU/roofline evidence lives on the straight-line
-    # forward benches.
+    # measured cost analysis is impossible here (XLA counts a while/scan
+    # body ONCE regardless of trip count: 49 GFLOP/img*iter reported vs
+    # ~1.7 TFLOP actual) — attach the ANALYTIC roofline instead
+    # (_analytic_attack_perf; scalar CE loss = 1 cotangent)
     return {
         "metric": "apgd16_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"APGD-CE {N_ITER} iters, EoT-32, ids flagship, "
                   f"batch {BATCH}, remat {policy or 'full'}",
+        **_analytic_attack_perf(defense, rate, BATCH, dtype,
+                                n_cotangents=1, remat=True),
     }
 
 
@@ -567,6 +643,8 @@ def bench_cw(dtype: str):
         "config": f"C&W single tanh-Adam step (production loops it 8x1024), "
                   f"EoT-32, ids flagship, batch {BATCH}, host-looped "
                   f"{HOST_ITERS}",
+        **_analytic_attack_perf(defense, BATCH / dt, BATCH, dtype,
+                                n_cotangents=1, remat=True),
     }
 
 
@@ -634,6 +712,8 @@ def bench_deepfool(dtype: str):
         "config": f"DeepFool top-10 jacobian, EoT-32, ids flagship, "
                   f"batch {BATCH}, {total_iters} realized iters over "
                   f"{ITERS} runs (budget {MAX_ITER})",
+        **_analytic_attack_perf(defense, BATCH * total_iters / dt, BATCH,
+                                dtype, n_cotangents=10, remat=True),
     }
 
 
@@ -674,14 +754,15 @@ def bench_fab(dtype: str):
     total = float(jnp.sum(jnp.stack(outs)))
     dt = (time.perf_counter() - t0) / ITERS
     assert np.isfinite(total)
-    rate, perf = BATCH * N_ITER / dt, {}
+    rate = BATCH * N_ITER / dt
     return {
         "metric": "fab_eot32_nvae_defense_image_iters_per_sec_per_chip",
         "value": round(rate, 2),
         "unit": "img*iter/s", "dtype": dtype,
         "config": f"FAB 100-class jacobian, {N_ITER} iters, EoT-32, "
                   f"ids flagship, batch {BATCH}",
-        **perf,
+        **_analytic_attack_perf(defense, rate, BATCH, dtype,
+                                n_cotangents=100, remat=True),
     }
 
 
@@ -893,9 +974,21 @@ def _finalize(out: dict) -> dict:
                                        round(out["value"] / 16.0, 2)]
     else:
         out.setdefault("vs_baseline", None)  # anchor is headline-only
+    # a quick-tier (batch-32) point must not clobber a banked FULL-tier
+    # headline: in the quick tier's own target scenario (full tier dies at
+    # the deadline) the ~60 img/s last-good would be overwritten by ~41
+    # and later stale fallbacks would under-report peak (ADVICE r4)
+    quick_over_full = False
+    if out.get("tier") == "quick":
+        try:
+            with open(LAST_GOOD) as f:
+                quick_over_full = json.load(f).get("tier") != "quick"
+        except Exception:
+            quick_over_full = False
     if (out.get("value") is not None
             and MODE in ("flagship_bf16", "all")  # the stale-fallback line
             # must always be the HEADLINE metric, never a side bench
+            and not quick_over_full
             and not os.environ.get("GAT_BENCH_NO_LAST_GOOD")):
         try:
             with open(LAST_GOOD, "w") as f:

@@ -42,20 +42,39 @@ class Conv1x1(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, in_scale=None, in_bias=None,
+                 out_scale=None, out_bias=None):
+        """Optional affine folding (GAT_NVAE_BN_FOLD): computes
+        out_scale*conv(in_scale*x + in_bias) + out_bias by scaling the
+        KERNEL instead of the activations - the per-channel eval-BN affines
+        adjacent to the 1x1s in ResidualCellDecoder become weight-sized
+        elementwise ops (KB) instead of activation-sized passes (MB).
+        With all four None this is byte-identical to the plain conv."""
         in_ch = x.shape[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (1, 1, in_ch, self.features))
         if self.stride > 1:
-            x = x[:, ::self.stride, ::self.stride, :]
+            x = x[:, ::self.stride, :: self.stride, :]
+        k2 = kernel if out_scale is None else \
+            kernel * out_scale[None, None, None, :]
+        keff = k2 if in_scale is None else k2 * in_scale[None, None, :, None]
         if os.environ.get("GAT_NVAE_PW", "conv") == "matmul":
-            y = jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0])
+            y = jnp.einsum("bhwc,co->bhwo", x, keff[0, 0])
         else:
             y = jax.lax.conv_general_dilated(
-                x, kernel, (1, 1), ((0, 0), (0, 0)),
+                x, keff, (1, 1), ((0, 0), (0, 0)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        bias = None
         if self.use_bias:
-            y = y + self.param("bias", nn.initializers.zeros, (self.features,))
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            bias = b if out_scale is None else b * out_scale
+        if in_bias is not None:
+            extra = in_bias @ k2[0, 0]
+            bias = extra if bias is None else bias + extra
+        if out_bias is not None:
+            bias = out_bias if bias is None else bias + out_bias
+        if bias is not None:
+            y = y + bias
         return y
 
 
@@ -161,33 +180,63 @@ class ResidualCellDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.in_channels * self.hidden_mul
+        fold = (not train) and os.environ.get("GAT_NVAE_BN_FOLD", "0") == "1"
         r = x
         if self.upsampling:
             b, h, w, c = r.shape
             r = jnp.repeat(jnp.repeat(r, 2, axis=1), 2, axis=2)  # nearest x2
-        r = _bn(train, "bn0")(r)
-        r = Conv1x1(hidden, use_bias=False, name="conv_expand")(r)
+        bn0 = _bn(train, "bn0")
+        conv_expand = Conv1x1(hidden, use_bias=False, name="conv_expand")
         bn1, bn2 = _bn(train, "bn1"), _bn(train, "bn2")
         wk = _DepthwiseTaps(hidden, name="conv_depthwise")()
         mode = _dw_mode(train, hidden)
-        if mode == "conv":
-            r = nn.silu(bn1(r))
-            r = jax.lax.conv_general_dilated(
-                r, wk, (1, 1), ((2, 2), (2, 2)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=hidden)
-            r = nn.silu(bn2(r))
+
+        def _affine(bn, ch):
+            # eval BN is affine: probe at 0 and 1 to extract (scale, bias)
+            # without touching its variable layout
+            z = jnp.zeros((1, 1, 1, ch), r.dtype)
+            b_ = bn(z).ravel()
+            return bn(jnp.ones_like(z)).ravel() - b_, b_
+
+        if fold:
+            # GAT_NVAE_BN_FOLD: eval BNs are per-channel affines adjacent to
+            # bias-free convs, so they fold into the kernels exactly:
+            #   silu(bn1(expand(bn0(r)))) == silu(expand'(r)) etc.
+            # (reference architecture.py:139-186 BN-conv chains; the folding
+            # is result-identical at inference by linearity)
+            s0, b0 = _affine(bn0, r.shape[-1])
         else:
-            # eval BN is affine: probe each BN at 0 and 1 to extract
-            # (scale, bias) without touching its variable layout, then run
-            # the whole segment as one fused pass
+            r = bn0(r)
+            s0 = b0 = None
+        if mode == "conv":
+            if fold:
+                s1, b1 = _affine(bn1, hidden)
+                s2, b2 = _affine(bn2, hidden)
+                r = nn.silu(conv_expand(r, in_scale=s0, in_bias=b0,
+                                        out_scale=s1, out_bias=b1))
+                r = jax.lax.conv_general_dilated(
+                    r, wk * s2[None, None, None, :], (1, 1),
+                    ((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=hidden)
+                r = nn.silu(r + b2)
+            else:
+                r = conv_expand(r)
+                r = nn.silu(bn1(r))
+                r = jax.lax.conv_general_dilated(
+                    r, wk, (1, 1), ((2, 2), (2, 2)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=hidden)
+                r = nn.silu(bn2(r))
+        else:
+            # the fused segment formulations consume bn1/bn2 as explicit
+            # affines already; under fold, bn0 additionally moves into the
+            # expand kernel
             from gen_adversarial_tpu.ops.pallas_depthwise import (
                 depthwise_silu_segment, reference_segment)
-            z = jnp.zeros((1, 1, 1, hidden), r.dtype)
-            b1 = bn1(z).ravel()
-            s1 = bn1(jnp.ones_like(z)).ravel() - b1
-            b2 = bn2(z).ravel()
-            s2 = bn2(jnp.ones_like(z)).ravel() - b2
+            r = conv_expand(r, in_scale=s0, in_bias=b0)
+            s1, b1 = _affine(bn1, hidden)
+            s2, b2 = _affine(bn2, hidden)
             taps = wk.reshape(5, 5, hidden)
             if mode == "pallas":
                 r = depthwise_silu_segment(
@@ -195,8 +244,14 @@ class ResidualCellDecoder(nn.Module):
                     jax.default_backend() != "tpu")
             else:
                 r = reference_segment(r, taps, s1, b1, s2, b2)
-        r = Conv1x1(self.out_channels, use_bias=False, name="conv_project")(r)
-        r = _bn(train, "bn3")(r)
+        conv_project = Conv1x1(self.out_channels, use_bias=False,
+                               name="conv_project")
+        bn3 = _bn(train, "bn3")
+        if fold:
+            s3, b3 = _affine(bn3, self.out_channels)
+            r = conv_project(r, out_scale=s3, out_bias=b3)
+        else:
+            r = bn3(conv_project(r))
         if self.use_se:
             r = SE(self.out_channels, name="se")(r)
         skip = SkipUp(self.out_channels, name="skip")(x) if self.upsampling else x

@@ -166,3 +166,40 @@ def test_normal_kl_closed_form():
     m1, s1, m2, s2 = map(np.asarray, (q.mu, q.sigma, p.mu, p.sigma))
     want = np.log(s2 / s1) + (s1 ** 2 + (m1 - m2) ** 2) / (2 * s2 ** 2) - 0.5
     np.testing.assert_allclose(kl, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bn_fold_parity(flax_nvae, monkeypatch):
+    """GAT_NVAE_BN_FOLD folds the decoder cells' eval-BN affines into the
+    adjacent bias-free conv kernels (cells.py ResidualCellDecoder) -
+    result-identical at inference by linearity.  The fixture's running
+    stats are randomized, so every folded scale/bias is non-trivial."""
+    model, variables, cfg = flax_nvae
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 32, 32, 3).astype(np.float32))
+    alphas = jnp.full((cfg.n_latents,), 0.5)
+    key = jax.random.PRNGKey(11)
+
+    monkeypatch.delenv("GAT_NVAE_BN_FOLD", raising=False)
+    base_pur = model.apply(variables, x, key, alphas, method=NVAE.purify)
+    base_rec = model.apply(variables, x, key, True, method=NVAE.reconstruct)
+
+    monkeypatch.setenv("GAT_NVAE_BN_FOLD", "1")
+    fold_pur = model.apply(variables, x, key, alphas, method=NVAE.purify)
+    fold_rec = model.apply(variables, x, key, True, method=NVAE.reconstruct)
+
+    np.testing.assert_allclose(np.asarray(fold_pur), np.asarray(base_pur),
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fold_rec), np.asarray(base_rec),
+                               rtol=1e-4, atol=2e-4)
+
+    # the variable tree must be unchanged by the fold path (same params
+    # init under the flag)
+    v2 = model.init({"params": jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(0))
+    assert jax.tree.structure(v2) == jax.tree.structure(variables)
+
+    # training path is unaffected by the flag (fold is eval-only)
+    (logits_f, kl_f) = model.apply(v2, x, key, train=True,
+                                   mutable=["batch_stats"])[0]
+    monkeypatch.delenv("GAT_NVAE_BN_FOLD", raising=False)
+    (logits_b, kl_b) = model.apply(v2, x, key, train=True,
+                                   mutable=["batch_stats"])[0]
+    np.testing.assert_allclose(np.asarray(logits_f), np.asarray(logits_b))

@@ -74,8 +74,13 @@ def main() -> None:
     import bench
 
     if MARKER.exists():
-        MARKER.unlink()  # void the marker: the worker must take the cold
-        # path so BOTH tiers' programs land in the cache
+        MARKER.unlink()  # void the marker so this worker run never skips
+        # compiles.  Note (ADVICE r4): _run_worker pops GAT_BENCH_T0, so
+        # _deadline_left() is infinite and the QUICK tier never runs here —
+        # its program is intentionally not pre-cached: the quick tier only
+        # ever fires when the fingerprint says the committed entries are
+        # stale for this build, in which case a pre-cached entry would be
+        # stale too.  The quick tier is sized to compile fast cold.
 
     t_start = time.time()
     _run_worker()
