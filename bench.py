@@ -317,7 +317,8 @@ WARM_MARKER = "/root/repo/.jax_cache/WARM_MODES.json"
 _PROGRAM_ENVS = ("GAT_EPS", "GAT_TASK_BATCH", "GAT_TASK_CHUNK",
                  "GAT_SHARED_ENCODE", "GAT_APGD_REMAT", "GAT_COT_CHUNK",
                  "GAT_EOT_UNROLL", "GAT_SG2_PHASE_RGB",
-                 "GAT_SG2_PHASE_MIN_RES", "GAT_NVAE_BN_FOLD",
+                 "GAT_SG2_PHASE_MIN_RES", "GAT_SG2_PHASE_IN_UP",
+                 "GAT_SG2_UP", "GAT_NVAE_BN_FOLD",
                  "GAT_NVAE_DW", "GAT_NVAE_PW", "GAT_DF_COT_CHUNK",
                  "GAT_STAGED_AA")
 

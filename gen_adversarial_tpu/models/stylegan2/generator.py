@@ -9,6 +9,7 @@ them from an explicit PRNG key.
 """
 
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -179,12 +180,18 @@ class Generator(nn.Module):
                          and weights_deltas[widx] is None
                          and weights_deltas[widx + 1] is None
                          and weights_deltas[widx + 2] is None)
-            if out_is_phase:
+            # GAT_SG2_PHASE_IN_UP=1: when consecutive blocks both phase,
+            # conv1's up-conv consumes the previous block's phase layout
+            # directly (lifted kernels, ops/phase_upsample) instead of
+            # paying a half-lane depth_to_space at the boundary
+            fuse_boundary = (out_is_phase and use_phase and os.environ.get(
+                "GAT_SG2_PHASE_IN_UP", "0") == "1")
+            if out_is_phase and not fuse_boundary:
                 out = depth_to_space(out)  # conv1 consumes logical layout
-                out_is_phase = False
+            out_is_phase = False
             out = conv1(out, latent[:, i], noise=noise[j + 1], key=keys[j + 1],
                         weights_delta=weights_deltas[widx],
-                        phase_out=use_phase)
+                        phase_in=fuse_boundary, phase_out=use_phase)
             out = conv2(out, latent[:, i + 1], noise=noise[j + 2], key=keys[j + 2],
                         weights_delta=weights_deltas[widx + 1],
                         phase_in=use_phase, phase_out=use_phase)

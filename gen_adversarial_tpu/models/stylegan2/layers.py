@@ -313,11 +313,22 @@ class ModulatedConv2d(nn.Module):
         xs = x * style_v[:, None, None, :]
 
         if self.upsample:
-            assert k == 3 and not phase_in and phase_out
-            pk = fused_upsample_kernel(weight * scale, self.blur_kernel)
-            y = lax.conv_general_dilated(
-                xs, pk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            assert k == 3 and phase_out
+            if phase_in:
+                # relayout-free phased block boundary: the up-conv consumes
+                # the previous block's phase layout directly via the lifted
+                # 2x2-per-output-grid-phase kernels
+                # (ops/phase_upsample.phase_in_upsample_kernels)
+                from gen_adversarial_tpu.ops.phase_upsample import (
+                    phase_in_upsample_kernels, phase_in_upsample)
+                kernels = phase_in_upsample_kernels(weight * scale,
+                                                    self.blur_kernel)
+                y = phase_in_upsample(xs, kernels)
+            else:
+                pk = fused_upsample_kernel(weight * scale, self.blur_kernel)
+                y = lax.conv_general_dilated(
+                    xs, pk.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
         elif k == 3:
             assert phase_in and phase_out
             pw = phase_conv3x3_kernel(weight * scale)

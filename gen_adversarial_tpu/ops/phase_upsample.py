@@ -126,3 +126,58 @@ def phase_upsample(x: jnp.ndarray, phase_kernel: jnp.ndarray) -> jnp.ndarray:
     y = y.reshape(b, h, w, 2, 2, cout)
     y = y.transpose(0, 1, 3, 2, 4, 5)  # B, H, py, W, px, out
     return y.reshape(b, 2 * h, 2 * w, cout)
+
+
+def phase_in_upsample_kernels(weight: jnp.ndarray, blur_1d,
+                              upsample_factor: int = 2):
+    """Lift the fused up-conv so it consumes PHASE-layout input directly —
+    the relayout-free block boundary when two consecutive generator blocks
+    both run phased (ROADMAP r4: 'phase BOTH top blocks with one relayout').
+
+    The logical fused kernel pk (fused_upsample_kernel) computes, on the
+    input's logical grid A (SAME pad 1):
+
+        y_phase[A, (p, o)] = sum_{t in 3x3} pk[t] . x[A - 1 + t]
+
+    With x itself in phase layout xp (block a, phase g: x[2a+g] = xp[a, g]),
+    write A = 2a' + beta:  A - 1 + t = 2(a' + e) + g  with
+    (e, g) = divmod(beta - 1 + t, 2).  Per output-grid phase beta the taps
+    collapse to a 2x2 conv over blocks (e spans 2 values), reading the
+    4C-channel phase input - full 128-wide lanes on both sides, and the
+    half-lane logical tensor at the boundary is never materialized.
+
+    Returns [(K, pad)] for beta = (0,0),(0,1),(1,0),(1,1):
+    K (2, 2, 4*cin, 4*cout) phase-major in/out, pad the per-dim explicit
+    conv padding.  Output channel concat over beta (beta-major) followed by
+    ops.phase_block.depth_to_space yields exactly the phase_out layout of
+    the logical path (pinned by tests/test_phase_block.py)."""
+    pk = fused_upsample_kernel(weight, blur_1d, upsample_factor)
+    _, _, cin, cout4 = pk.shape
+    out = []
+    for by in (0, 1):
+        for bx in (0, 1):
+            k = jnp.zeros((2, 2, 4 * cin, cout4), pk.dtype)
+            for ty in range(3):
+                ey, gy = divmod(by - 1 + ty, 2)
+                iy = ey + (1 if by == 0 else 0)
+                for tx in range(3):
+                    ex, gx = divmod(bx - 1 + tx, 2)
+                    ix = ex + (1 if bx == 0 else 0)
+                    ph = gy * 2 + gx
+                    k = k.at[iy, ix, ph * cin:(ph + 1) * cin, :].add(pk[ty, tx])
+            pad = ((1, 0) if by == 0 else (0, 1),
+                   (1, 0) if bx == 0 else (0, 1))
+            out.append((k, pad))
+    return out
+
+
+def phase_in_upsample(xp: jnp.ndarray, kernels) -> jnp.ndarray:
+    """Apply phase_in_upsample_kernels: (B, H/2, W/2, 4*cin) phase input ->
+    (B, H, W, 4*cout) phase output (of the 2H x 2W logical image)."""
+    b, hh, wh, _ = xp.shape
+    ys = [lax.conv_general_dilated(
+        xp, k.astype(xp.dtype), (1, 1), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) for k, pad in kernels]
+    y4 = jnp.concatenate(ys, axis=-1)  # (B, H/2, W/2, 4 * 4*cout), beta-major
+    from gen_adversarial_tpu.ops.phase_block import depth_to_space
+    return depth_to_space(y4)

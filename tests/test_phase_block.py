@@ -249,3 +249,68 @@ def test_generator_phase_rgb_output_matches_pooled_logical(monkeypatch):
     g_phase = jax.grad(loss_phase)(z)
     np.testing.assert_allclose(np.asarray(g_phase), np.asarray(g_ref),
                                rtol=2e-3, atol=1e-5)
+
+
+def test_phase_in_upsample_kernels_match_logical_fused():
+    """The lifted phase-in up-conv (ops/phase_upsample.
+    phase_in_upsample_kernels) must equal the logical-input fused up-conv
+    for arbitrary kernels — the relayout-free block boundary."""
+    from gen_adversarial_tpu.ops.phase_upsample import (
+        fused_upsample_kernel, phase_in_upsample, phase_in_upsample_kernels)
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 6, 5) * 0.3, jnp.float32)
+    blur = (1, 3, 3, 1)
+
+    pk = fused_upsample_kernel(w, blur)            # logical in, phase out
+    ref = _conv(x, pk, 1)                          # (2, 8, 12, 20)
+
+    got = phase_in_upsample(space_to_depth(x),
+                            phase_in_upsample_kernels(w, blur))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generator_phase_in_up_boundary_matches(monkeypatch):
+    """GAT_SG2_PHASE_IN_UP=1: with two consecutive phased blocks, the
+    second block's up-conv consumes the phase layout directly — outputs
+    and input-grads must match both the logical path and the
+    depth_to_space-boundary phase path."""
+    import gen_adversarial_tpu.models.stylegan2.generator as gmod
+
+    monkeypatch.setattr(
+        gmod, "generator_channels",
+        lambda channel_multiplier=2: {4: 16, 8: 12, 16: 8, 32: 8})
+    gen = gmod.Generator(size=32, style_dim=16, n_mlp=2)
+    variables = gen.init(jax.random.PRNGKey(0), [jnp.zeros((2, 16))],
+                         randomize_noise=False)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 16))
+    nkey = jax.random.PRNGKey(2)
+
+    def run():
+        img, _ = gen.apply(variables, [z], randomize_noise=True,
+                           noise_key=nkey)
+        return img
+
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")  # logical
+    ref = run()
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "16")
+    monkeypatch.setenv("GAT_SG2_PHASE_IN_UP", "1")
+    got = run()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=3e-5)
+
+    def loss(z_):
+        img, _ = gen.apply(variables, [z_], randomize_noise=False)
+        return jnp.sum(img ** 2)
+
+    monkeypatch.delenv("GAT_SG2_PHASE_IN_UP")
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "0")
+    g_ref = jax.grad(loss)(z)
+    monkeypatch.setenv("GAT_SG2_PHASE_MIN_RES", "16")
+    monkeypatch.setenv("GAT_SG2_PHASE_IN_UP", "1")
+    g_got = jax.grad(loss)(z)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
