@@ -277,12 +277,12 @@ def stage3_search(log, nvae_model, nvae_vars, clf_model, clf_vars):
         log(f"[stage3] alphas loaded: {np.round(best, 3).tolist()}")
         return best
 
-    # adversarial set vs the recon-only defense (all alphas 1.0 keeps the
-    # posterior; the reference uses the recon-only model the same way,
-    # create_adversarial_dataset.py:45-112)
+    # adversarial set vs the RECON-ONLY defense: all alphas 0 keeps the
+    # posterior mean (models/nvae.purify_decode: z = (1-a)*mu_q + a*prior;
+    # the reference's create_adversarial_dataset.py:45-112 does the same)
     adv_dir = WORK / "adv_set"
     defense = _make_defense(nvae_model, nvae_vars, clf_model, clf_vars,
-                            np.ones(n_latents))
+                            np.zeros(n_latents))
     loaded = LoadedDefense(
         experiment="ids", defense_type="ours", image_size=IMAGE_SIZE,
         n_classes=N_CLASSES, defense=defense, eot_steps=EOT_STEPS,
