@@ -202,13 +202,24 @@ def main():
             batch = 1 if exp == "gender" else 2
             loaded = load_defense(str(tmp_cfg), eot_steps=2,
                                   eot_chunk=1 if exp == "gender" else None)
+            msgs = []
             res = run_benchmark(
                 loaded, str(d / "data"), str(work / "results" / name),
                 batch_size=batch, max_images=2, attack_filter="deepfool",
-                plots=False, log_fn=lambda *a: None)
+                plots=False, log_fn=msgs.append)
             rj = work / "results" / name / "results.json"
             assert rj.exists() and "DeepFool" in json.loads(rj.read_text())
+            # attack_secs: the in-harness attack wall time (harness logs
+            # '(X.Xs)' per batch).  secs - attack_secs ~= load + COMPILE —
+            # the r4 outlier (ours_learned_blur_ids 1601.8s vs ~90-350s
+            # siblings, VERDICT r4 weak#8) was unattributable without it;
+            # each first-of-its-program-shape config pays the cold compile.
+            import re
+            attack_secs = sum(float(m.group(1)) for m in
+                              (re.search(r"\((\d+\.\d)s\)$", str(s))
+                               for s in msgs) if m)
             results[name] = {"ok": True, "secs": round(time.time() - t0, 1),
+                             "attack_secs": round(attack_secs, 1),
                              "clean": res["Clean"]}
             print(f"[ok] {name} ({results[name]['secs']}s)", flush=True)
         except Exception as e:
