@@ -244,7 +244,8 @@ def stage2_nvae(log, clf_model, clf_vars):
 
 
 # --------------------------------------------------------------- stage 3
-def _make_defense(nvae_model, nvae_vars, clf_model, clf_vars, alphas):
+def _make_defense(nvae_model, nvae_vars, clf_model, clf_vars, alphas,
+                  remat=False):
     import jax.numpy as jnp
     from gen_adversarial_tpu.defenses.base import MLVGMDefense, make_classifier_apply
     from gen_adversarial_tpu.defenses.purify import make_nvae_purify_split, _compose
@@ -257,7 +258,7 @@ def _make_defense(nvae_model, nvae_vars, clf_model, clf_vars, alphas):
         purify_encode_apply=encode_apply, purify_decode_apply=decode_apply,
         classifier_apply=make_classifier_apply(clf_model),
         image_size=IMAGE_SIZE, initial_noise_eps=0.0,
-        normalize_before_purify=False)
+        normalize_before_purify=False, remat=remat)
 
 
 def _make_deepfool_adv_set(log, defense, images_path, out_dir, n_samples):
@@ -388,25 +389,51 @@ def stage4_harness(log, nvae_model, nvae_vars, clf_model, clf_vars, alphas):
     attacks["autoattack"].keywords["n_classes"] = N_CLASSES
 
     runs = {}
-    for name, defense, eot in (
-            ("base", ClassifierDefense(clf_vars, make_classifier_apply(clf_model)), 1),
+    # ours: batch 8 + EoT-chunk 2 + remat'd purifier — the C&W while-loop
+    # backward through unchunked EoT-8 at batch 16 kernel-faulted the 16G
+    # chip (2026-08-21); all three knobs are result-identical memory levers
+    for name, defense, eot, chunk, batch in (
+            ("base", ClassifierDefense(clf_vars, make_classifier_apply(clf_model)),
+             1, None, EVAL_BATCH),
             ("ours", _make_defense(nvae_model, nvae_vars, clf_model, clf_vars,
-                                   alphas), EOT_STEPS)):
+                                   alphas, remat=True), EOT_STEPS, 2, 8)):
         out = WORK / f"results_{name}"
         res_file = out / "results.json"
-        if res_file.exists() and not (out / "progress_p0.json").exists():
-            runs[name] = json.loads(res_file.read_text())
-            log(f"[stage4] {name}: loaded existing results.json")
-            continue
+        existing = json.loads(res_file.read_text()) if res_file.exists() else {}
         loaded = LoadedDefense(
             experiment="ids", defense_type="ours" if name == "ours" else "base",
             image_size=IMAGE_SIZE, n_classes=N_CLASSES, defense=defense,
-            eot_steps=eot, eot_chunk=None, attacks=attacks)
-        log(f"[stage4] running harness: {name} (eot={eot})")
-        runs[name] = run_benchmark(
-            loaded, str(WORK / "data" / "test"), str(out),
-            batch_size=EVAL_BATCH, seed=SEED, max_images=N_EVAL_IMAGES,
-            plots=True, log_fn=log)
+            eot_steps=eot, eot_chunk=chunk, attacks=attacks)
+        # one harness run PER ATTACK (results.json merge semantics,
+        # harness._merge_results): the C&W/AutoAttack programs through the
+        # EoT purifier kernel-fault this chip intermittently (2026-08-21,
+        # twice) — per-attack runs + the per-batch checkpoint mean an
+        # outer retry loop (run_efficacy.sh) loses at most one batch of
+        # one attack per fault, and completed attacks are skipped by key.
+        from gen_adversarial_tpu.eval.harness import ATTACK_JSON_NAMES
+        for att in ("deepfool", "c&w", "autoattack"):
+            prog_attacks = None
+            if (out / "progress_p0.json").exists():
+                try:
+                    prog_attacks = json.loads(
+                        (out / "progress_p0.json").read_text()
+                    )["fingerprint"]["attacks"]
+                except Exception:
+                    prog_attacks = None
+            # done = merged into results.json, and any leftover progress
+            # checkpoint belongs to a DIFFERENT attack's interrupted run
+            done = ATTACK_JSON_NAMES[att] in existing and prog_attacks != [att]
+            if done:
+                log(f"[stage4] {name}/{att}: already in results.json")
+                continue
+            log(f"[stage4] running harness: {name}/{att} (eot={eot}, "
+                f"chunk={chunk}, batch={batch})")
+            run_benchmark(
+                loaded, str(WORK / "data" / "test"), str(out),
+                batch_size=batch, seed=SEED, max_images=N_EVAL_IMAGES,
+                attack_filter=att, plots=True, log_fn=log)
+            existing = json.loads(res_file.read_text())
+        runs[name] = json.loads(res_file.read_text())
     return runs
 
 
