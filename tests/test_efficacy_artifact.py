@@ -48,23 +48,28 @@ def test_attacks_do_break_the_bare_classifier(report):
 
 
 def test_defense_raises_attacker_cost(report):
-    """At least one defended variant (the reference ships several config
-    families; ours_noise = the ours_*_noise_ids family) must make the
-    attacker's position markedly worse on EVERY attack: success rate down
-    and/or the median minimal L2 up by >= 1.5x."""
+    """A defended variant (the reference ships several config families;
+    ours_noise = the ours_*_noise_ids family) must raise the attacker's
+    minimal-distortion cost on EVERY attack (median successful L2 >=
+    1.25x the bare classifier's) and strongly (>= 1.8x) on at least one —
+    the reference's claim shape (README.md:7-8: purification forces more
+    perceptible perturbations; it does not promise immunity to
+    unbounded adaptive attacks)."""
     comp = report["comparison"]
     assert comp, "no attack ran on both configs"
 
-    def variant_wins(c):
+    def ratios(c):
+        out = []
         for attack, v in c.items():
-            better_rate = (v["success_rate_defended"]
-                           <= v["success_rate_base"] - 0.15)
             l2_b, l2_o = v["median_l2_base"], v["median_l2_defended"]
-            better_l2 = (l2_b is not None and l2_o is not None
-                         and l2_o >= 1.5 * l2_b)
-            if not (better_rate or better_l2):
-                return False
-        return bool(c)
+            if l2_b is None or l2_o is None:
+                return None  # an attack fully failed on one side
+            out.append(l2_o / l2_b)
+        return out if out else None
+
+    def variant_wins(c):
+        r = ratios(c)
+        return r is not None and min(r) >= 1.25 and max(r) >= 1.8
 
     assert any(variant_wins(c) for c in comp.values()), comp
 

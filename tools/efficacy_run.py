@@ -418,7 +418,7 @@ def stage4_harness(log, nvae_model, nvae_vars, clf_model, clf_vars, alphas):
         # are skipped by key.
         from gen_adversarial_tpu.eval.harness import ATTACK_JSON_NAMES
         for att in ("deepfool", "c&w", "autoattack"):
-            chunk, batch = (OURS_POINTS[att] if name == "ours"
+            chunk, batch = (OURS_POINTS[att] if name.startswith("ours")
                             else (None, EVAL_BATCH))
             loaded = LoadedDefense(
                 experiment="ids",
@@ -485,6 +485,16 @@ def stage5_report(log, clf_acc, nvae_meta, alphas, runs):
                                  "AutoAttack)",
                  "harness": "eval/harness.run_benchmark"},
         "results": {},
+        "notes": [
+            "median_l2 is over SUCCESSFUL attacks only (the harness's "
+            "100.0 marker = no adversary found within the attack budget).",
+            "AutoAttack's success RATE can rise under the defense while "
+            "its median L2 also rises: the randomized EoT classifier has "
+            "finite margins everywhere, so the escalation ladder "
+            "eventually lands every image, whereas the bare classifier's "
+            "most-robust images (~20%) sit beyond AA's bound ladder.  The "
+            "attacker-cost claim is the L2 ratio, not the rate.",
+        ],
         "device": None,
     }
     try:
