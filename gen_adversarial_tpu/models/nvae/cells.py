@@ -180,7 +180,11 @@ class ResidualCellDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = self.in_channels * self.hidden_mul
-        fold = (not train) and os.environ.get("GAT_NVAE_BN_FOLD", "0") == "1"
+        # default ON (promoted 2026-08-21): flagship EoT-32 bf16 60.41 ->
+        # 61.74 img/s (+2.2%), reproduced across two healthy-chip runs
+        # (tools/bench_queue_results.jsonl); GAT_NVAE_BN_FOLD=0 restores
+        # the separate-BN-pass path for A/Bs
+        fold = (not train) and os.environ.get("GAT_NVAE_BN_FOLD", "1") == "1"
         r = x
         if self.upsampling:
             b, h, w, c = r.shape

@@ -178,7 +178,7 @@ def test_bn_fold_parity(flax_nvae, monkeypatch):
     alphas = jnp.full((cfg.n_latents,), 0.5)
     key = jax.random.PRNGKey(11)
 
-    monkeypatch.delenv("GAT_NVAE_BN_FOLD", raising=False)
+    monkeypatch.setenv("GAT_NVAE_BN_FOLD", "0")  # explicit: default is ON
     base_pur = model.apply(variables, x, key, alphas, method=NVAE.purify)
     base_rec = model.apply(variables, x, key, True, method=NVAE.reconstruct)
 
